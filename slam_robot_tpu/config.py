@@ -1,0 +1,101 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its tuning constants through the code (survey §5:
+baseline 150mm at main.cpp:496, focal 416 at main.cpp:474, patch window 13 at
+matcher.cpp:27, min-match 40 at matcher.cpp:338/353, corner params at
+matcher.cpp:125-130, seed depth 2000 at matcher.cpp:380, epipolar threshold
+0.0015 at localmap.cpp:260, solve windows (2,5)/(10,20) at main.cpp:580-592,
+error threshold 5 at main.cpp:555, turning radius 2 at planner.cpp:24).
+Here they all live in one frozen dataclass, plus the fixed capacities the
+TPU-native mask-based state layout needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # ---- image geometry (main.cpp:474-486, video.cpp:136-137) ----
+    image_width: int = 640
+    image_height: int = 480
+    focal: float = 416.0           # fx; fy is -focal (y-flip baked into intrinsics)
+    cx: float = 320.0
+    cy: float = 240.0
+    num_cameras: int = 2           # alternating stereo pair (main.cpp:507)
+    baseline_mm: float = 150.0     # assumed stereo baseline (main.cpp:496)
+
+    # ---- tracker (hessian.h, matcher.cpp) ----
+    patch_size: int = 13           # kWindowSize (matcher.cpp:27)
+    pyramid_depth: int = 6         # matcher.cpp:317
+    track_threshold: float = 0.001  # convergence step threshold (matcher.cpp:176)
+    track_max_iters: int = 10      # matcher.cpp:176
+    roundtrip_px: float = 0.3      # fwd/bwd consistency gate (matcher.cpp:201)
+    mask_bias: float = 15.0        # radial weight 1/(15+r^2) (hessian.h:18)
+    blur_sigma0: float = 1.1       # level-0 Gaussian (hessian.h:102)
+    blur_sigma_down: float = 0.8   # post-pyrDown Gaussian (hessian.h:113)
+    levels_confident: int = 3      # uncertainty <= 100 (matcher.cpp:227-229)
+    levels_unsure: int = 6
+
+    # ---- feature lifecycle (matcher.cpp) ----
+    min_matches: int = 40          # keyframe trigger (matcher.cpp:338,353)
+    max_corners: int = 120         # goodFeaturesToTrack (matcher.cpp:127)
+    corner_quality: float = 0.01   # matcher.cpp:128
+    corner_min_dist: float = 20.0  # matcher.cpp:129
+    suppress_grid: int = 30        # occupancy grid (matcher.cpp:132)
+    seed_depth_mm: float = 2000.0  # new-point unproject depth (matcher.cpp:380)
+    max_views: int = 4             # keyframe view ring (matcher.cpp:397-402)
+    uncertainty_confident: float = 100.0  # matcher.cpp:228,234; slam.cpp:347
+
+    # ---- map maintenance (localmap.cpp) ----
+    error_threshold: float = 5.0       # Clean threshold (main.cpp:555)
+    clean_maxerr_div: float = 4.0      # worst-first bar maxerr/4 (localmap.cpp:366)
+    bad_feature_avg_err: float = 1.5   # localmap.cpp:352
+    bad_feature_min_obs: int = 4       # localmap.cpp:352
+    min_baseline_mm: float = 50.0      # NO_BASELINE clear distance (localmap.cpp:75)
+    epipolar_threshold: float = 0.0015  # localmap.cpp:260
+    epipolar_hard_mult: float = 100.0   # disable at 100x threshold (localmap.cpp:267)
+    epipolar_mismatch_obs: int = 8      # localmap.cpp:268
+    close_point_z: float = 1.0          # BAD_LOCATION cutoff (localmap.cpp:329)
+    not_moving_d2: float = 5.0          # idle-frame removal (localmap.cpp:178)
+    homogeneous_w_min: float = 1e-6     # w clamp (localmap.cpp:303-306)
+
+    # ---- bundle adjustment (slam.cpp, main.cpp:580-592) ----
+    solve_fast: tuple[int, int] = (2, 5)    # (num_to_solve, num_to_present)
+    solve_slow: tuple[int, int] = (10, 20)
+    slow_every: int = 5                # main.cpp:587
+    slow_first_n: int = 10
+    ba_range: float = 2.0              # CauchyLoss scale (main.cpp:582,593)
+    ba_max_iters: int = 50             # ref allows 1000 (slam.cpp:493); GN needs far fewer
+    ba_ftol: float = 1e-7              # slam.cpp:494
+    ba_ftol_fine: float = 1e-9         # slam.cpp:498
+    frame_dist_weight: float = 0.1     # FrameDistance residual (slam.cpp:100)
+    frame_dist_loss: float = 15.0      # CauchyLoss(15) (slam.cpp:404)
+    camera_loss: float = 5.0           # CauchyLoss(5) on intrinsics (slam.cpp:463)
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 0.5
+    cheirality_eps: float = 0.001      # project.h:27
+
+    # ---- planner (planner.cpp) ----
+    turning_radius: float = 2.0        # planner.cpp:24
+    path_types: int = 18               # planner.cpp:25
+    interp_step: float = 0.1           # planner_test / onMouse
+
+    # ---- fixed capacities for the SoA state (TPU-native; no ref analog) ----
+    max_frames: int = 512
+    max_points: int = 1024
+    max_obs: int = 16384
+    max_obs_per_point: int = 64
+    max_features: int = 512            # live matcher feature slots
+
+    # ---- numerics ----
+    dtype: str = "float32"
+
+    @property
+    def window(self) -> int:
+        return self.patch_size
+
+
+DEFAULT = SlamConfig()
