@@ -1,0 +1,624 @@
+"""The world model: a fixed-capacity, mask-based, struct-of-arrays map state.
+
+This is the TPU-native rebuild of the reference's LocalMap/Frame/TrackedPoint/
+Observation object graph (localmap.{h,cpp}). Pointers become integer indices,
+growable vectors become fixed-capacity arrays with fill counters, and every
+mutation is a pure function ``MapState -> MapState`` that jits and vmaps.
+
+Layout
+------
+- cameras:      k[C,7] intrinsics + saved kinit (localmap.h:28-36)
+- frames:       quat[F,4] (xyzw), trans[F,3], camera index, keyframe bit,
+                per-frame observation start offset (append-only obs table)
+- points:       homogeneous location[P,4], uncertainty[P] (init 1e8,
+                localmap.h:177-182), flag bitmask (localmap.h:184-190)
+- observations: one flat append-only table (frame idx, point idx, pixel,
+                disabled bit, cached reprojection error) replacing the
+                reference's dual ownership (Frame owns Observation,
+                TrackedPoint caches pointers, localmap.h:146+198)
+- per-point cache: a ring of observation-table indices per point
+                (``point_obs``), giving the reference's negative-index
+                accessor observation(-i) (localmap.h:205-218) in O(1)
+
+Capacity semantics: per-point rings keep the most recent
+``max_obs_per_point`` observations; statistics that the reference takes over
+a point's full history (Clean's avg error, localmap.cpp:351) are taken over
+the ring window here. The flat obs table itself is not windowed.
+
+Flag machine: NO_OBSERVATIONS / NO_BASELINE are *clear-only* derived flags
+exactly like the reference's CheckFlags (localmap.cpp:44-84): they are set at
+AddPoint (localmap.cpp:106-112) and re-set for changed points in Clean
+(localmap.cpp:389-395), and cleared when evidence accumulates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.ops import projection as proj
+from slam_robot_tpu.ops import quaternion as quat
+from slam_robot_tpu.ops import epipolar as epi
+
+# ---- point flag bits (localmap.h:184-190) ----
+BAD_LOCATION = 1 << 0   # too close to a frame origin => entirely unusable
+NO_BASELINE = 1 << 1    # insufficient baseline => not (yet) usable for SLAM
+NO_OBSERVATIONS = 1 << 2  # insufficient usable observations
+MISMATCHED = 1 << 3     # recent mis-matched obs => detach from visual feature
+BAD_FEATURE = 1 << 4    # persistent fitting error => suppress from SLAM
+
+_SLAM_BAD = BAD_LOCATION | NO_BASELINE | NO_OBSERVATIONS | BAD_FEATURE
+_FEATURE_BAD = MISMATCHED | BAD_LOCATION
+
+
+def slam_usable(flags):
+    """localmap.h:242-248."""
+    return (flags & _SLAM_BAD) == 0
+
+
+def feature_usable(flags):
+    """localmap.h:249."""
+    return (flags & _FEATURE_BAD) == 0
+
+
+class MapState(NamedTuple):
+    # cameras
+    cam_k: jnp.ndarray        # [C, 7] k1,k2,k3,fx,fy,cx,cy
+    cam_k_init: jnp.ndarray   # [C, 7]
+    # frames
+    frame_quat: jnp.ndarray   # [F, 4] xyzw
+    frame_trans: jnp.ndarray  # [F, 3] camera position in world
+    frame_cam: jnp.ndarray    # [F] int32 camera index
+    frame_keyframe: jnp.ndarray  # [F] bool
+    frame_obs_start: jnp.ndarray  # [F] int32: n_obs when the frame was added
+    n_frames: jnp.ndarray     # int32 scalar
+    # points
+    point_loc: jnp.ndarray    # [P, 4] homogeneous world location
+    point_uncertainty: jnp.ndarray  # [P] f32
+    point_flags: jnp.ndarray  # [P] int32 bitmask
+    n_points: jnp.ndarray     # int32 scalar
+    # flat observation table
+    obs_frame: jnp.ndarray    # [O] int32
+    obs_point: jnp.ndarray    # [O] int32
+    obs_px: jnp.ndarray       # [O, 2] f32 pixel coordinates
+    obs_disabled: jnp.ndarray  # [O] bool
+    obs_err: jnp.ndarray      # [O, 2] f32 cached reprojection error
+    n_obs: jnp.ndarray        # int32 scalar
+    # per-point ring of obs-table indices
+    point_obs: jnp.ndarray    # [P, R] int32 (ring; slot = total % R)
+    point_obs_total: jnp.ndarray  # [P] int32 lifetime obs count per point
+
+    # ---- derived helpers ----
+    @property
+    def frame_mask(self):
+        return jnp.arange(self.frame_quat.shape[0]) < self.n_frames
+
+    @property
+    def point_mask(self):
+        return jnp.arange(self.point_loc.shape[0]) < self.n_points
+
+    @property
+    def obs_mask(self):
+        return jnp.arange(self.obs_frame.shape[0]) < self.n_obs
+
+    @property
+    def ring_size(self):
+        return self.point_obs.shape[1]
+
+    def point_position(self):
+        return proj.point_position(self.point_loc)
+
+    def point_ring_count(self):
+        """Number of observations available in each point's ring."""
+        return jnp.minimum(self.point_obs_total, self.ring_size)
+
+    def recent_obs_index(self, i: int | jnp.ndarray):
+        """Obs-table index of observation(-i) per point (localmap.h:205-218).
+
+        i=1 is the most recent. Returns -1 where unavailable.
+        """
+        total = self.point_obs_total
+        slot = jnp.mod(total - i, self.ring_size)
+        idx = jax.vmap(lambda row, s: row[s])(self.point_obs, slot)
+        ok = (total >= i) & (i >= 1) & (i <= self.point_ring_count())
+        return jnp.where(ok, idx, -1)
+
+
+def empty(cfg: SlamConfig) -> MapState:
+    f32 = jnp.float32
+    C, F, P, O, R = (
+        cfg.num_cameras,
+        cfg.max_frames,
+        cfg.max_points,
+        cfg.max_obs,
+        cfg.max_obs_per_point,
+    )
+    return MapState(
+        cam_k=jnp.zeros((C, 7), f32),
+        cam_k_init=jnp.zeros((C, 7), f32),
+        frame_quat=jnp.tile(jnp.array([0, 0, 0, 1], f32), (F, 1)),
+        frame_trans=jnp.zeros((F, 3), f32),
+        frame_cam=jnp.zeros((F,), jnp.int32),
+        frame_keyframe=jnp.zeros((F,), bool),
+        frame_obs_start=jnp.zeros((F,), jnp.int32),
+        n_frames=jnp.int32(0),
+        point_loc=jnp.tile(jnp.array([0, 0, 1, 1], f32), (P, 1)),
+        point_uncertainty=jnp.full((P,), 1e8, f32),
+        point_flags=jnp.zeros((P,), jnp.int32),
+        n_points=jnp.int32(0),
+        obs_frame=jnp.full((O,), -1, jnp.int32),
+        obs_point=jnp.full((O,), -1, jnp.int32),
+        obs_px=jnp.zeros((O, 2), f32),
+        obs_disabled=jnp.zeros((O,), bool),
+        obs_err=jnp.zeros((O, 2), f32),
+        n_obs=jnp.int32(0),
+        point_obs=jnp.full((P, R), -1, jnp.int32),
+        point_obs_total=jnp.zeros((P,), jnp.int32),
+    )
+
+
+def set_camera(state: MapState, idx: int, k) -> MapState:
+    """AddCamera + Reset (localmap.cpp:101-104, localmap.h:32-36)."""
+    k = jnp.asarray(k, state.cam_k.dtype)
+    return state._replace(
+        cam_k=state.cam_k.at[idx].set(k),
+        cam_k_init=state.cam_k_init.at[idx].set(k),
+    )
+
+
+def reset_cameras(state: MapState) -> MapState:
+    return state._replace(cam_k=state.cam_k_init)
+
+
+def add_frame(state: MapState, cam_idx, q=None, t=None) -> tuple[MapState, jnp.ndarray]:
+    """Append a frame (localmap.cpp:93-99). Returns (state, frame_idx)."""
+    i = state.n_frames
+    q = quat.identity() if q is None else q
+    t = jnp.zeros(3, state.frame_trans.dtype) if t is None else t
+    return (
+        state._replace(
+            frame_quat=state.frame_quat.at[i].set(q),
+            frame_trans=state.frame_trans.at[i].set(t),
+            frame_cam=state.frame_cam.at[i].set(jnp.int32(cam_idx)),
+            frame_keyframe=state.frame_keyframe.at[i].set(False),
+            frame_obs_start=state.frame_obs_start.at[i].set(state.n_obs),
+            n_frames=i + 1,
+        ),
+        i,
+    )
+
+
+def set_frame_pose(state: MapState, idx, q, t) -> MapState:
+    return state._replace(
+        frame_quat=state.frame_quat.at[idx].set(q),
+        frame_trans=state.frame_trans.at[idx].set(t),
+    )
+
+
+def add_points(state: MapState, locs, valid) -> tuple[MapState, jnp.ndarray]:
+    """Batched AddPoint (localmap.cpp:106-112). Returns (state, point_idx[K]).
+
+    New points get flags NO_OBSERVATIONS|NO_BASELINE and uncertainty 1e8.
+    ``valid`` masks which of the K candidate rows are real; invalid rows get
+    index -1 and consume no capacity.
+    """
+    locs = jnp.asarray(locs)
+    valid = jnp.asarray(valid, bool)
+    P = state.point_loc.shape[0]
+    offs = state.n_points + jnp.cumsum(valid) - valid.astype(jnp.int32)
+    in_cap = valid & (offs < P)
+    dest = jnp.where(in_cap, offs, P)  # out-of-range scatter drops
+    new_loc = state.point_loc.at[dest].set(locs, mode="drop")
+    flags = state.point_flags.at[dest].set(NO_OBSERVATIONS | NO_BASELINE, mode="drop")
+    unc = state.point_uncertainty.at[dest].set(1e8, mode="drop")
+    ring = state.point_obs.at[dest].set(-1, mode="drop")
+    totals = state.point_obs_total.at[dest].set(0, mode="drop")
+    n_new = state.n_points + jnp.sum(in_cap.astype(jnp.int32))
+    idx = jnp.where(in_cap, offs, -1)
+    return (
+        state._replace(
+            point_loc=new_loc,
+            point_flags=flags,
+            point_uncertainty=unc,
+            point_obs=ring,
+            point_obs_total=totals,
+            n_points=n_new,
+        ),
+        idx,
+    )
+
+
+def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapState:
+    """Batched Frame::AddObservation + Commit (localmap.h:139-144,
+    localmap.cpp:86-90): append rows to the obs table and publish them into
+    the per-point rings, then clear evidence flags (CheckFlags,
+    localmap.cpp:39-42 calls it per added obs).
+
+    point_idx[K] int32, px[K,2], valid[K] bool. Each point may appear at most
+    once per call (one observation per frame, as in the reference matcher).
+    """
+    point_idx = jnp.asarray(point_idx, jnp.int32)
+    valid = jnp.asarray(valid, bool) & (point_idx >= 0)
+    O = state.obs_frame.shape[0]
+    offs = state.n_obs + jnp.cumsum(valid) - valid.astype(jnp.int32)
+    in_cap = valid & (offs < O)
+    dest = jnp.where(in_cap, offs, O)  # OOB scatter drops
+
+    obs_frame = state.obs_frame.at[dest].set(jnp.int32(frame_idx), mode="drop")
+    obs_point = state.obs_point.at[dest].set(point_idx, mode="drop")
+    obs_px = state.obs_px.at[dest].set(px, mode="drop")
+    obs_dis = state.obs_disabled.at[dest].set(False, mode="drop")
+    obs_err = state.obs_err.at[dest].set(0.0, mode="drop")
+
+    # Publish into per-point rings.
+    totals = state.point_obs_total[point_idx.clip(0)]
+    slot = jnp.mod(totals, state.ring_size)
+    pr = jnp.where(in_cap, point_idx, state.point_loc.shape[0])  # OOB drop
+    point_obs = state.point_obs.at[pr, slot].set(offs, mode="drop")
+    point_obs_total = state.point_obs_total.at[pr].add(1, mode="drop")
+
+    new = state._replace(
+        obs_frame=obs_frame,
+        obs_point=obs_point,
+        obs_px=obs_px,
+        obs_disabled=obs_dis,
+        obs_err=obs_err,
+        n_obs=state.n_obs + jnp.sum(in_cap.astype(jnp.int32)),
+        point_obs=point_obs,
+        point_obs_total=point_obs_total,
+    )
+    return refresh_flags(new)
+
+
+# ---------------------------------------------------------------------------
+# flag evidence (CheckFlags, localmap.cpp:44-84) — clear-only
+# ---------------------------------------------------------------------------
+
+def _ring_gather(state: MapState, field):
+    """Gather a per-obs field into per-point ring order [P, R] with validity.
+
+    Ring order is age order: j=0 is the oldest retained observation.
+    """
+    P, R = state.point_obs.shape
+    total = state.point_obs_total
+    cnt = state.point_ring_count()
+    ages = jnp.arange(R)[None, :]  # j
+    slots = jnp.mod(total[:, None] - cnt[:, None] + ages, R)
+    idx = jnp.take_along_axis(state.point_obs, slots, axis=1)
+    ok = (ages < cnt[:, None]) & (idx >= 0)
+    vals = field[idx.clip(0)]
+    return vals, ok, idx
+
+
+def refresh_flags(state: MapState, min_baseline: float = 50.0) -> MapState:
+    """Clear NO_OBSERVATIONS / NO_BASELINE where evidence justifies it.
+
+    - >= 2 enabled observations clears NO_OBSERVATIONS (localmap.cpp:47-59)
+    - an enabled observation whose frame is >= 50mm from the *first* enabled
+      observation's frame clears NO_BASELINE (localmap.cpp:62-83)
+    """
+    enabled, ok, _ = _ring_gather(state, ~state.obs_disabled)
+    frames, _, _ = _ring_gather(state, state.obs_frame)
+    good = ok & enabled
+
+    n_good = jnp.sum(good, axis=1)
+    clear_no_obs = n_good >= 2
+
+    pos = state.frame_trans[frames.clip(0)]  # [P, R, 3]
+    # first enabled obs per point = base
+    first_j = jnp.argmax(good, axis=1)
+    has_base = jnp.any(good, axis=1)
+    base = jnp.take_along_axis(pos, first_j[:, None, None], axis=1)[:, 0]
+    dist = jnp.linalg.norm(pos - base[:, None, :], axis=-1)
+    later = good & (jnp.arange(good.shape[1])[None, :] > first_j[:, None])
+    clear_no_base = has_base & jnp.any(later & (dist >= min_baseline), axis=1)
+
+    flags = state.point_flags
+    flags = jnp.where(clear_no_obs, flags & ~NO_OBSERVATIONS, flags)
+    flags = jnp.where(clear_no_base, flags & ~NO_BASELINE, flags)
+    return state._replace(point_flags=flags)
+
+
+# ---------------------------------------------------------------------------
+# normalize (localmap.cpp:114-155)
+# ---------------------------------------------------------------------------
+
+def normalize(state: MapState, rescale: bool = False, baseline: float = 150.0) -> MapState:
+    """Re-anchor frame 0 at origin/identity; optionally re-fix scale.
+
+    New world w' = R0 (w - T0): frames get t' = R0 (t - T0) and
+    q' = q * q0^-1; point xyz rotates by R0 after the translation ``move``.
+    The reference codes the scale re-fix but forces scale=1
+    (localmap.cpp:125-126); ``rescale=True`` enables the intended behavior.
+    """
+    do = state.n_frames >= 2
+
+    t0 = state.frame_trans[0]
+    q0 = state.frame_quat[0]
+    scale = jnp.where(
+        rescale,
+        baseline / jnp.maximum(jnp.linalg.norm(t0 - state.frame_trans[1]), 1e-9),
+        1.0,
+    ).astype(state.frame_trans.dtype)
+
+    fm = state.frame_mask[:, None]
+    new_t = quat.rotate(q0, (state.frame_trans - t0) * scale)
+    new_q = quat.normalize(quat.multiply(state.frame_quat, quat.conjugate(q0)))
+
+    # Points: move(-T0) in world coords, rescale(1/scale), rotate xyz by R0
+    # (localmap.h:226-232, localmap.cpp:133-137,150-153).
+    loc = state.point_loc
+    xyz = loc[..., :3] - t0 * loc[..., 3:4]
+    w = loc[..., 3:4] / scale
+    moved = jnp.concatenate([quat.rotate(q0, xyz), w], axis=-1)
+    moved = moved / jnp.maximum(jnp.linalg.norm(moved, axis=-1, keepdims=True), 1e-12)
+    pm = state.point_mask[:, None]
+
+    return state._replace(
+        frame_trans=jnp.where(do & fm, new_t, state.frame_trans),
+        frame_quat=jnp.where(do & fm, new_q, state.frame_quat),
+        point_loc=jnp.where(do & pm, moved, state.point_loc),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pop_frame / check_not_moving (localmap.cpp:158-187)
+# ---------------------------------------------------------------------------
+
+def pop_frame(state: MapState) -> MapState:
+    """Remove the most recent frame and its observations (localmap.cpp:158-171).
+
+    Its observations are the tail of the obs table; they are also the most
+    recent entry in each affected point's ring, so the ring totals just
+    decrement. No flag changes (the reference's RemoveObservation->CheckFlags
+    is clear-only and removal never adds evidence).
+    """
+    has = state.n_frames > 0
+    last = jnp.maximum(state.n_frames - 1, 0)
+    start = state.frame_obs_start[last]
+    O = state.obs_frame.shape[0]
+    rows = jnp.arange(O)
+    removed = (rows >= start) & (rows < state.n_obs) & has
+    # decrement ring totals for the points of removed rows
+    pts = jnp.where(removed, state.obs_point, state.point_loc.shape[0])
+    point_obs_total = state.point_obs_total.at[pts].add(-1, mode="drop")
+    return state._replace(
+        n_frames=jnp.where(has, last, state.n_frames),
+        n_obs=jnp.where(has, start, state.n_obs),
+        obs_frame=jnp.where(removed, -1, state.obs_frame),
+        obs_point=jnp.where(removed, -1, state.obs_point),
+        point_obs_total=point_obs_total,
+    )
+
+
+def check_not_moving(state: MapState, d2_threshold: float = 5.0) -> MapState:
+    """Drop the last two frames when recent motion is negligible
+    (localmap.cpp:173-187): requires >=4 frames, d1^2+d2^2 <= threshold and
+    neither of the last two frames being keyframes."""
+    n = state.n_frames
+    pos = state.frame_trans
+    i = jnp.maximum(n, 4)  # avoid negative indexing pre-guard
+    d1 = jnp.linalg.norm(pos[i - 1] - pos[i - 3])
+    d2 = jnp.linalg.norm(pos[i - 2] - pos[i - 4])
+    idle = (d1 * d1 + d2 * d2) <= d2_threshold
+    kf = state.frame_keyframe[i - 1] | state.frame_keyframe[i - 2]
+    do = (n >= 4) & idle & ~kf
+    return jax.lax.cond(do, lambda s: pop_frame(pop_frame(s)), lambda s: s, state)
+
+
+# ---------------------------------------------------------------------------
+# reproject (slam.cpp:523-548)
+# ---------------------------------------------------------------------------
+
+def reproject(state: MapState, cheirality_eps: float = 0.001) -> tuple[MapState, jnp.ndarray]:
+    """Recompute every observation's reprojection error; return (state, mean).
+
+    Matches Slam::ReprojectMap: error = projected - observed for every row of
+    the obs table (enabled or not); rows whose point fails the cheirality
+    test keep error = observed pixel and are excluded from the mean
+    (slam.cpp:529-545).
+    """
+    f = state.obs_frame.clip(0)
+    p = state.obs_point.clip(0)
+    q = state.frame_quat[f]
+    t = state.frame_trans[f]
+    k = state.cam_k[state.frame_cam[f]]
+    loc = state.point_loc[p]
+    px, valid = jax.vmap(proj.project_point, in_axes=(0, 0, 0, 0, None))(
+        q, t, k, loc, cheirality_eps
+    )
+    active = state.obs_mask
+    err = jnp.where((valid & active)[:, None], px - state.obs_px, state.obs_px)
+    counted = valid & active
+    norms = jnp.linalg.norm(err, axis=-1)
+    mean = jnp.sum(jnp.where(counted, norms, 0.0)) / jnp.maximum(
+        jnp.sum(counted.astype(jnp.float32)), 1.0
+    )
+    return state._replace(obs_err=jnp.where(active[:, None], err, state.obs_err)), mean
+
+
+# ---------------------------------------------------------------------------
+# clean (localmap.cpp:283-398)
+# ---------------------------------------------------------------------------
+
+def clean(state: MapState, error_threshold: float = 5.0, cfg: SlamConfig | None = None
+          ) -> tuple[MapState, jnp.ndarray]:
+    """Disable high-error observations, flag degenerate points.
+
+    Vectorized equivalent of LocalMap::Clean:
+    1. clamp homogeneous w to be strictly positive (localmap.cpp:299-306)
+    2. BAD_LOCATION for slam-usable points with any cached observation whose
+       camera-space depth < 1 (localmap.cpp:328-334)
+    3. collect enabled observations of usable (non-newly-bad) points with
+       error > threshold; disable those with err >= max(threshold, maxerr/4)
+       — the sorted worst-first walk with a fixed bar is order-independent,
+       so a mask applies it exactly (localmap.cpp:361-387); mark MISMATCHED
+    4. BAD_FEATURE when avg ring error > 1.5 with > 4 observations
+       (localmap.cpp:352-356); uncertainty <- avg error (localmap.cpp:358)
+    5. changed points get NO_OBSERVATIONS|NO_BASELINE re-set then evidence
+       re-clears them (localmap.cpp:389-395)
+
+    Returns (state, all_ok) where all_ok=True iff nothing was disabled.
+    """
+    cfg = cfg or SlamConfig()
+    P = state.point_loc.shape[0]
+    pm = state.point_mask
+    usable = slam_usable(state.point_flags) & pm
+
+    # 1. force point scale strictly positive
+    w = state.point_loc[:, 3]
+    w_fixed = jnp.where(jnp.abs(w) < cfg.homogeneous_w_min, cfg.homogeneous_w_min, jnp.abs(w))
+    loc = jnp.where(
+        usable[:, None],
+        jnp.concatenate([state.point_loc[:, :3], w_fixed[:, None]], axis=1),
+        state.point_loc,
+    )
+    state = state._replace(point_loc=loc)
+
+    # ring gathers
+    errs2, ok, _ridx = _ring_gather(state, state.obs_err)
+    frames, _, _ = _ring_gather(state, state.obs_frame)
+    enabled, _, ring_rows = _ring_gather(state, ~state.obs_disabled)
+    errn = jnp.linalg.norm(errs2, axis=-1)  # [P, R]
+
+    # 2. too-close-to-camera test over all cached obs of usable points
+    fq = state.frame_quat[frames.clip(0)]
+    ft = state.frame_trans[frames.clip(0)]
+    pos = state.point_position()[:, None, :]
+    z = quat.rotate(fq, pos - ft)[..., 2]
+    new_bad_loc = usable & jnp.any(ok & (z < cfg.close_point_z), axis=1)
+
+    # 3. worst-first disable with a fixed bar
+    cand = ok & enabled & (errn > error_threshold) & usable[:, None] & ~new_bad_loc[:, None]
+    maxerr = jnp.max(jnp.where(cand, errn, 0.0))
+    bar = jnp.maximum(error_threshold, maxerr / cfg.clean_maxerr_div)
+    to_disable = cand & (errn >= bar)
+    any_disabled_pt = jnp.any(to_disable, axis=1)
+    all_ok = ~jnp.any(to_disable)
+    rows = jnp.where(to_disable, ring_rows, state.obs_frame.shape[0])
+    obs_disabled = state.obs_disabled.at[rows].set(True, mode="drop")
+    state = state._replace(obs_disabled=obs_disabled)
+
+    # 4. avg error over the ring; BAD_FEATURE; uncertainty update
+    cnt = jnp.maximum(state.point_ring_count(), 1)
+    avg = jnp.sum(jnp.where(ok, errn, 0.0), axis=1) / cnt
+    new_bad_feat = (
+        usable
+        & (avg > cfg.bad_feature_avg_err)
+        & (state.point_ring_count() > cfg.bad_feature_min_obs)
+    )
+    unc = jnp.where(usable, avg, state.point_uncertainty)
+
+    flags = state.point_flags
+    flags = jnp.where(new_bad_loc, flags | BAD_LOCATION, flags)
+    flags = jnp.where(any_disabled_pt, flags | MISMATCHED, flags)
+    flags = jnp.where(new_bad_feat, flags | BAD_FEATURE, flags)
+
+    # 5. re-derive evidence flags for changed points
+    changed = new_bad_loc | any_disabled_pt | new_bad_feat
+    flags = jnp.where(changed, flags | NO_OBSERVATIONS | NO_BASELINE, flags)
+    state = state._replace(point_flags=flags, point_uncertainty=unc)
+    state = refresh_flags(state)
+    return state, all_ok
+
+
+# ---------------------------------------------------------------------------
+# epipolar constraint (localmap.cpp:232-276)
+# ---------------------------------------------------------------------------
+
+def apply_epipolar_constraint(state: MapState, cfg: SlamConfig | None = None) -> MapState:
+    """Gate recent matches on the epipolar constraint.
+
+    Per point: obs1 = most recent observation; obs2 = most recent *enabled*
+    earlier observation scanning -2, -3, ... down to -(n-1)
+    (localmap.cpp:242-249). Skip when the two frames share a camera or no
+    enabled obs2 exists. Residual r = h2^T E h1 in undistorted plane
+    coordinates; |r| > 100*0.0015 disables obs1 + MISMATCHED when the point
+    has > 8 observations, else BAD_FEATURE (localmap.cpp:260-274).
+    """
+    cfg = cfg or SlamConfig()
+    P, R = state.point_obs.shape
+    cnt = state.point_ring_count()
+    total = state.point_obs_total
+
+    enabled, ok, ring_rows = _ring_gather(state, ~state.obs_disabled)
+    frames, _, _ = _ring_gather(state, state.obs_frame)
+    pxs, _, _ = _ring_gather(state, state.obs_px)
+
+    ages = jnp.arange(R)[None, :]
+    last_j = cnt - 1  # ring position of observation(-1)
+    # obs2 candidates: positions last_j-1 down to 1 == observation(-2..-(n-1));
+    # pick the *newest* enabled one (the C++ walk stops at the first enabled).
+    cand2 = ok & enabled & (ages < last_j[:, None]) & (ages >= 1)
+    j2 = jnp.argmax(jnp.where(cand2, ages, -1), axis=1)
+    has2 = jnp.any(cand2, axis=1)
+
+    def take(arr, j):
+        return jnp.take_along_axis(arr, j[:, None], axis=1)[:, 0]
+
+    j1 = jnp.maximum(last_j, 0)
+    f1 = take(frames, j1)
+    f2 = take(frames, j2)
+    px1 = jnp.take_along_axis(pxs, j1[:, None, None], axis=1)[:, 0]
+    px2 = jnp.take_along_axis(pxs, j2[:, None, None], axis=1)[:, 0]
+    row1 = take(ring_rows, j1)
+
+    eligible = (
+        state.point_mask
+        & (total >= 2)
+        & feature_usable(state.point_flags)
+        & ((state.point_flags & BAD_FEATURE) == 0)
+        & has2
+        & (state.frame_cam[f1.clip(0)] != state.frame_cam[f2.clip(0)])
+    )
+
+    k1 = state.cam_k[state.frame_cam[f1.clip(0)]]
+    k2 = state.cam_k[state.frame_cam[f2.clip(0)]]
+    h1 = proj.pixel_to_plane(px1, k1)
+    h2 = proj.pixel_to_plane(px2, k2)
+    r = epi.epipolar_residual_frames(
+        state.frame_quat[f1.clip(0)], state.frame_trans[f1.clip(0)],
+        state.frame_quat[f2.clip(0)], state.frame_trans[f2.clip(0)],
+        h1, h2,
+    )
+
+    hard = eligible & (jnp.abs(r) > cfg.epipolar_threshold * cfg.epipolar_hard_mult)
+    many = total > cfg.epipolar_mismatch_obs
+    disable1 = hard & many
+    rows = jnp.where(disable1, row1, state.obs_frame.shape[0])
+    obs_disabled = state.obs_disabled.at[rows].set(True, mode="drop")
+
+    flags = state.point_flags
+    flags = jnp.where(disable1, flags | MISMATCHED, flags)
+    flags = jnp.where(hard & ~many, flags | BAD_FEATURE, flags)
+    return state._replace(obs_disabled=obs_disabled, point_flags=flags)
+
+
+# ---------------------------------------------------------------------------
+# host-side summary (LocalMap::Stats, localmap.cpp:400-483)
+# ---------------------------------------------------------------------------
+
+def stats(state: MapState) -> dict:
+    """Structured summary of what the reference prints in Stats()."""
+    import numpy as np
+
+    pm = np.asarray(state.point_mask)
+    flags = np.asarray(state.point_flags)
+    d = {
+        "n_frames": int(state.n_frames),
+        "n_points": int(np.sum(pm)),
+        "n_obs": int(state.n_obs),
+        "slam_usable": int(np.sum(np.asarray(slam_usable(state.point_flags)) & pm)),
+        "no_baseline": int(np.sum(((flags & NO_BASELINE) != 0) & pm)),
+        "no_observations": int(np.sum(((flags & NO_OBSERVATIONS) != 0) & pm)),
+        "bad_location": int(np.sum(((flags & BAD_LOCATION) != 0) & pm)),
+        "bad_feature": int(np.sum(((flags & BAD_FEATURE) != 0) & pm)),
+        "mismatched": int(np.sum(((flags & MISMATCHED) != 0) & pm)),
+        "n_disabled_obs": int(
+            np.sum(np.asarray(state.obs_disabled) & np.asarray(state.obs_mask))
+        ),
+    }
+    return d

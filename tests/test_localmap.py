@@ -1,0 +1,231 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.models import localmap as lm
+from slam_robot_tpu.ops import projection as proj
+from slam_robot_tpu.ops import quaternion as quat
+from slam_robot_tpu.utils import synthetic
+
+CFG = SlamConfig(max_frames=16, max_points=64, max_obs=1024, max_obs_per_point=16)
+
+
+def small_state():
+    k = synthetic.reference_intrinsics(CFG)
+    s = lm.empty(CFG)
+    s = lm.set_camera(s, 0, k)
+    s = lm.set_camera(s, 1, k)
+    return s
+
+
+def test_add_frame_point_obs_counters():
+    s = small_state()
+    s, f0 = lm.add_frame(s, 0)
+    s, f1 = lm.add_frame(s, 1, quat.identity(), jnp.array([150.0, 0, 0]))
+    assert int(s.n_frames) == 2 and int(f0) == 0 and int(f1) == 1
+
+    locs = jnp.tile(jnp.array([0.0, 0, 2000, 1]), (3, 1))
+    s, ids = lm.add_points(s, locs, jnp.array([True, True, False]))
+    assert int(s.n_points) == 2
+    np.testing.assert_array_equal(np.asarray(ids), [0, 1, -1])
+    # new points start NO_OBSERVATIONS|NO_BASELINE (localmap.cpp:106-112)
+    assert int(s.point_flags[0]) == lm.NO_OBSERVATIONS | lm.NO_BASELINE
+    assert not bool(lm.slam_usable(s.point_flags)[0])
+
+    px = jnp.array([[320.0, 240.0], [100.0, 100.0], [0.0, 0.0]])
+    s = lm.add_observations(s, f0, jnp.array([0, 1, -1]), px, jnp.array([True, True, True]))
+    assert int(s.n_obs) == 2
+    assert int(s.point_obs_total[0]) == 1 and int(s.point_obs_total[1]) == 1
+    # ring holds the obs row index
+    assert int(s.recent_obs_index(1)[0]) == 0
+
+
+def test_flags_clear_with_evidence():
+    s = small_state()
+    s, f0 = lm.add_frame(s, 0, quat.identity(), jnp.zeros(3))
+    s, f1 = lm.add_frame(s, 1, quat.identity(), jnp.array([150.0, 0, 0]))
+    s, ids = lm.add_points(s, jnp.array([[0.0, 0, 2000, 1]]), jnp.array([True]))
+    s = lm.add_observations(s, f0, ids[:1], jnp.array([[320.0, 240]]), jnp.array([True]))
+    # one obs: both flags still set
+    assert int(s.point_flags[0]) & lm.NO_OBSERVATIONS
+    s = lm.add_observations(s, f1, ids[:1], jnp.array([[280.0, 240]]), jnp.array([True]))
+    # two enabled obs, frames 150mm apart (>=50mm): both cleared
+    # (localmap.cpp:47-83)
+    assert not int(s.point_flags[0]) & lm.NO_OBSERVATIONS
+    assert not int(s.point_flags[0]) & lm.NO_BASELINE
+    assert bool(lm.slam_usable(s.point_flags)[0])
+
+
+def test_no_baseline_requires_distance():
+    s = small_state()
+    s, f0 = lm.add_frame(s, 0, quat.identity(), jnp.zeros(3))
+    s, f1 = lm.add_frame(s, 1, quat.identity(), jnp.array([10.0, 0, 0]))  # < 50mm
+    s, ids = lm.add_points(s, jnp.array([[0.0, 0, 2000, 1]]), jnp.array([True]))
+    s = lm.add_observations(s, f0, ids[:1], jnp.array([[320.0, 240]]), jnp.array([True]))
+    s = lm.add_observations(s, f1, ids[:1], jnp.array([[318.0, 240]]), jnp.array([True]))
+    assert not int(s.point_flags[0]) & lm.NO_OBSERVATIONS  # 2 obs
+    assert int(s.point_flags[0]) & lm.NO_BASELINE  # but no baseline
+
+
+def test_reproject_zero_on_perfect_scene():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=10)
+    s, mean = lm.reproject(scene.state)
+    assert float(mean) < 1e-2
+    errs = np.asarray(s.obs_err)[: int(s.n_obs)]
+    assert np.all(np.linalg.norm(errs, axis=1) < 0.1)
+
+
+def test_reproject_detects_moved_point():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=10)
+    s = scene.state
+    s = s._replace(point_loc=s.point_loc.at[0, 0].add(500.0))
+    s, mean = lm.reproject(s)
+    errs = np.linalg.norm(np.asarray(s.obs_err), axis=1)
+    obs_of_p0 = np.asarray(s.obs_point)[: int(s.n_obs)] == 0
+    assert np.all(errs[: int(s.n_obs)][obs_of_p0] > 1.0)
+
+
+def test_normalize_preserves_reprojection_error():
+    # the reference asserts this every frame (main.cpp:602-605)
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=12)
+    s = scene.state
+    # shove the whole map into an arbitrary pose so normalize has work to do
+    q = quat.from_axis_angle(jnp.array([0.3, 0.5, 0.1]), 0.7)
+    t = jnp.array([300.0, -200.0, 100.0])
+    new_quat = jax.vmap(lambda fq: quat.normalize(quat.multiply(fq, quat.conjugate(q))))(
+        s.frame_quat
+    )
+    new_trans = jax.vmap(lambda ft: quat.rotate(q, ft) + t)(s.frame_trans)
+    xyz = jax.vmap(lambda p: quat.rotate(q, p[:3]) + t * p[3])(s.point_loc)
+    new_loc = jnp.concatenate([xyz, s.point_loc[:, 3:]], axis=1)
+    s = s._replace(frame_quat=new_quat, frame_trans=new_trans, point_loc=new_loc)
+
+    _, err1 = lm.reproject(s)
+    s2 = lm.normalize(s)
+    _, err2 = lm.reproject(s2)
+    assert abs(float(err1) - float(err2)) < 0.1
+    # frame 0 re-anchored at origin/identity
+    np.testing.assert_allclose(np.asarray(s2.frame_trans[0]), np.zeros(3), atol=1e-3)
+    np.testing.assert_allclose(np.abs(float(s2.frame_quat[0, 3])), 1.0, atol=1e-5)
+
+
+def test_clean_disables_worst_first_bar():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+    s, _ = lm.reproject(scene.state)
+    # fabricate errors on three obs of different points: 10, 30, 100
+    err = s.obs_err
+    err = err.at[0].set(jnp.array([10.0, 0.0]))
+    err = err.at[7].set(jnp.array([30.0, 0.0]))
+    err = err.at[14].set(jnp.array([100.0, 0.0]))
+    s = s._replace(obs_err=err)
+    s2, all_ok = lm.clean(s, 5.0, CFG)
+    assert not bool(all_ok)
+    dis = np.asarray(s2.obs_disabled)
+    # bar = max(5, 100/4) = 25: disable 30 and 100 but not 10
+    # (localmap.cpp:361-387)
+    assert not dis[0] and dis[7] and dis[14]
+    # their points are MISMATCHED and flagged for evidence re-check
+    p7 = int(s.obs_point[7])
+    assert int(s2.point_flags[p7]) & lm.MISMATCHED
+
+
+def test_clean_flags_bad_location():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+    s, _ = lm.reproject(scene.state)
+    # move point 2 to sit on frame 0's camera (z<1 in camera space)
+    s = s._replace(point_loc=s.point_loc.at[2].set(jnp.array([0.0, 0.0, 0.5, 1.0])))
+    s2, _ = lm.clean(s, 5.0, CFG)
+    assert int(s2.point_flags[2]) & lm.BAD_LOCATION
+    assert not bool(lm.slam_usable(s2.point_flags)[2])
+
+
+def test_clean_fixes_negative_w():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+    s, _ = lm.reproject(scene.state)
+    s = s._replace(point_loc=s.point_loc.at[1, 3].set(-1.0))
+    s2, _ = lm.clean(s, 5.0, CFG)
+    assert float(s2.point_loc[1, 3]) == 1.0
+
+
+def test_clean_sets_uncertainty_to_avg_err():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+    s, _ = lm.reproject(scene.state)
+    s2, _ = lm.clean(s, 5.0, CFG)
+    # perfect scene: avg err ~ 0 => uncertainty ~ 0 for usable points
+    u = np.asarray(s2.point_uncertainty)[:6]
+    assert np.all(u < 0.1)
+
+
+def test_pop_frame_and_not_moving():
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=8)
+    s = scene.state
+    n_obs_before = int(s.n_obs)
+    start_last = int(s.frame_obs_start[int(s.n_frames) - 1])
+    s2 = lm.pop_frame(s)
+    assert int(s2.n_frames) == 5
+    assert int(s2.n_obs) == start_last
+    # ring totals decremented for points observed by the popped frame
+    assert int(s2.point_obs_total[0]) == int(s.point_obs_total[0]) - 1
+    assert n_obs_before > start_last
+
+    # check_not_moving: make the last four frames coincident & non-key
+    s3 = s._replace(
+        frame_trans=s.frame_trans.at[2:6].set(s.frame_trans[2]),
+        frame_keyframe=s.frame_keyframe.at[:].set(False),
+    )
+    s4 = lm.check_not_moving(s3, 5.0)
+    assert int(s4.n_frames) == 4
+    # moving scene is untouched
+    s5 = lm.check_not_moving(s, 5.0)
+    assert int(s5.n_frames) == 6
+
+
+def test_epipolar_constraint_flags_outlier():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=8)
+    s = scene.state
+    # corrupt the most recent observation of point 3 (in the last frame)
+    row = int(s.recent_obs_index(1)[3])
+    assert int(s.obs_point[row]) == 3
+    s = s._replace(obs_px=s.obs_px.at[row, 1].add(150.0))
+    s2 = lm.apply_epipolar_constraint(s, CFG)
+    # few observations (<=8): point becomes BAD_FEATURE (localmap.cpp:267-273)
+    assert int(s2.point_flags[3]) & lm.BAD_FEATURE
+    # clean points untouched
+    assert not int(s2.point_flags[1]) & (lm.BAD_FEATURE | lm.MISMATCHED)
+
+
+def test_epipolar_constraint_mismatch_many_obs():
+    cfg = SlamConfig(max_frames=16, max_points=32, max_obs=2048, max_obs_per_point=16)
+    scene = synthetic.build_scene(cfg, n_frames=12, n_points=4)
+    s = scene.state
+    row = int(s.recent_obs_index(1)[0])
+    s = s._replace(obs_px=s.obs_px.at[row, 1].add(150.0))
+    s2 = lm.apply_epipolar_constraint(s, cfg)
+    # many observations (>8): disable the latest obs + MISMATCHED
+    assert int(s2.point_flags[0]) & lm.MISMATCHED
+    assert bool(s2.obs_disabled[row])
+    assert not int(s2.point_flags[0]) & lm.BAD_FEATURE
+
+
+def test_stats_summary():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+    d = lm.stats(scene.state)
+    assert d["n_frames"] == 4 and d["n_points"] == 6
+    assert d["slam_usable"] == 6  # all seen from all frames with baseline
+
+
+def test_ops_jit_under_scan():
+    # the whole maintenance suite must be jittable
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+
+    @jax.jit
+    def step(s):
+        s, _ = lm.reproject(s)
+        s, ok = lm.clean(s, 5.0, CFG)
+        s = lm.apply_epipolar_constraint(s, CFG)
+        s = lm.normalize(s)
+        return s, ok
+
+    s, ok = step(scene.state)
+    assert bool(ok)
