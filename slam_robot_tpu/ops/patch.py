@@ -1,0 +1,105 @@
+"""Sub-pixel patch extraction and photometric-invariant scoring.
+
+Rebuilds HessianTracker's GetPatch / ScorePatchMatch / radial weight mask
+(hessian.h:11-30, 54-93, 129-141) on edge-padded pyramid levels:
+
+- extraction is one dynamic-slice of (S+1)x(S+1) plus a bilinear mix — no
+  per-pixel gathers, so it vectorizes over features and lowers to cheap
+  VMEM reads on TPU
+- getRectSubPix's replicate-border behavior comes from the pyramid's edge
+  padding; a boolean validity mask marks pixels whose bilinear support fell
+  outside the true image (the reference zeroes such pixels via its
+  shift-and-zero-fill logic at hessian.h:63-76 and then skips zeros in
+  ScorePatchMatch at hessian.h:134-135 — an explicit mask is the same skip
+  without the value-sentinel aliasing)
+- scoring: gain/bias compensation alpha = sqrt(sumsq1/sumsq2),
+  beta = mean1 - alpha*mean2 over the weighted SSD with the normalized
+  radial mask 1/(15 + r^2)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from slam_robot_tpu.ops.pyramid import PAD, PyramidLevel
+
+
+class Patch(NamedTuple):
+    data: jnp.ndarray    # [S, S] f32
+    valid: jnp.ndarray   # [S, S] bool
+    mean: jnp.ndarray    # scalar: sum/S^2 (over all pixels, like the ref)
+    sumsq: jnp.ndarray   # scalar: sum of squares / S^2
+
+
+@functools.lru_cache(maxsize=None)
+def radial_mask(size: int = 13, bias: float = 15.0) -> jnp.ndarray:
+    """1/(bias + r^2) about the (0.5*size) corner-offset center, normalized
+    to mean 1 (hessian.h:11-30 — note the reference centers at 0.5*size,
+    not the pixel center (size-1)/2; we keep its exact weighting)."""
+    x = jnp.arange(size, dtype=jnp.float32)
+    rx = 0.5 * size - x
+    rr = rx[None, :] ** 2 + rx[:, None] ** 2
+    m = 1.0 / (bias + rr)
+    return m * (size * size / jnp.sum(m))
+
+
+def extract(level: PyramidLevel, pt, size: int = 13) -> Patch:
+    """Patch of `size`^2 centered at sub-pixel pt=(x,y) in level coordinates.
+
+    Equivalent to getRectSubPix with replicate border (hessian.h:77-83).
+    pt follows the pixel-center convention: pt=(x,y) integer means the patch
+    is centered exactly on pixel (x,y).
+    """
+    half = (size - 1) // 2
+    x, y = pt[0], pt[1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0.astype(x.dtype)
+    fy = y - y0.astype(y.dtype)
+
+    # (size+1)^2 window starting at the patch's top-left support pixel.
+    # Clamp so the slice stays inside the padded array even for wildly
+    # out-of-bounds points (validity handles semantics).
+    Hp, Wp = level.padded.shape
+    sy = jnp.clip(y0 - half + PAD, 0, Hp - (size + 1))
+    sx = jnp.clip(x0 - half + PAD, 0, Wp - (size + 1))
+    win = lax.dynamic_slice(level.padded, (sy, sx), (size + 1, size + 1))
+
+    p = (
+        (1 - fy) * (1 - fx) * win[:size, :size]
+        + (1 - fy) * fx * win[:size, 1:]
+        + fy * (1 - fx) * win[1:, :size]
+        + fy * fx * win[1:, 1:]
+    )
+
+    # validity: bilinear support inside the true image
+    gx = x0.astype(jnp.float32) + jnp.arange(size, dtype=jnp.float32) - half
+    gy = y0.astype(jnp.float32) + jnp.arange(size, dtype=jnp.float32) - half
+    vx = (gx >= 0) & (gx + 1 <= level.width - 1 + 1)
+    vy = (gy >= 0) & (gy + 1 <= level.height - 1 + 1)
+    valid = vy[:, None] & vx[None, :]
+
+    n = size * size
+    return Patch(
+        data=p,
+        valid=valid,
+        mean=jnp.sum(p) / n,
+        sumsq=jnp.sum(p * p) / n,
+    )
+
+
+def score(p1: Patch, p2: Patch, weight: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Lighting-invariant weighted SSD (hessian.h:129-141).
+
+    alpha = sqrt(sumsq1 / sumsq2); beta = mean1 - alpha*mean2;
+    sum over mutually valid pixels of weight * (p1 - alpha*p2 - beta)^2.
+    """
+    alpha = jnp.sqrt(p1.sumsq / jnp.maximum(p2.sumsq, eps))
+    beta = p1.mean - alpha * p2.mean
+    diff = p1.data - p2.data * alpha - beta
+    ok = p1.valid & p2.valid
+    return jnp.sum(jnp.where(ok, diff * diff * weight, 0.0))

@@ -1,0 +1,190 @@
+"""Batched coarse-to-fine Newton patch tracker (hessian.h:147-264 rebuilt).
+
+The reference estimates the 2x2 Hessian and gradient of the photometric
+score by 6 finite-difference score evaluations per Newton step
+(BruteHessian, hessian.h:147-172) and even leaves itself the TODO to use the
+interpolation structure directly (hessian.h:143-146). Here the score is a
+closed differentiable function of the sub-pixel position (bilinear sampling
+is piecewise-polynomial), so one ``jax.grad`` / ``jax.hessian`` pair gives
+the exact in-cell derivatives — fewer FLOPs, no step-size h.
+
+Semantics preserved from Track/TrackFeature (hessian.h:185-264):
+- Newton step d = -H^-1 g, clamped to unit length then per-component to
+  [-1, 1]. (The reference's unit-clamp normalizes dx first and then divides
+  dy by the *already updated* dx — a bug we do not copy; we normalize the
+  vector properly.)
+- stop when both |dx|,|dy| < threshold, after at most ``max_iters`` steps
+- out-of-bounds margin test per iteration -> track failure
+- coarse-to-fine: start at level lvls-1 with pt / 2^(lvls-1), x2 upscale
+  between levels
+- forward/backward verification with a 0.3px round-trip gate happens in the
+  matcher (matcher.cpp:173-206) via ``track_bidirectional``
+
+All functions are single-feature; the matcher vmaps them over feature slots.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from slam_robot_tpu.ops import patch as patch_ops
+from slam_robot_tpu.ops.patch import Patch
+from slam_robot_tpu.ops.pyramid import PyramidLevel
+
+OK = 0
+SMALL_DET = 1       # kept for API parity (hessian.h:48-52); never raised
+OUT_OF_BOUNDS = 2
+
+_MARGIN = 0.01  # hessian.h:196
+
+
+def get_patch_stack(pyr: Sequence[PyramidLevel], pt, levels: int | None = None,
+                    size: int = 13) -> Patch:
+    """GetPatches (hessian.h:175-183): patch at pt / 2^i per level, stacked
+    along a leading axis. Always extracts all len(pyr) levels; callers mask
+    with a per-feature level count."""
+    levels = len(pyr) if levels is None else levels
+    ps = [patch_ops.extract(pyr[i], pt / (2.0**i), size) for i in range(levels)]
+    return Patch(
+        data=jnp.stack([p.data for p in ps]),
+        valid=jnp.stack([p.valid for p in ps]),
+        mean=jnp.stack([p.mean for p in ps]),
+        sumsq=jnp.stack([p.sumsq for p in ps]),
+    )
+
+
+def _level_patch(stack: Patch, i: int) -> Patch:
+    return Patch(stack.data[i], stack.valid[i], stack.mean[i], stack.sumsq[i])
+
+
+def track_level(level: PyramidLevel, ref_patch: Patch, pt, weight,
+                threshold: float = 0.001, max_iters: int = 10):
+    """Newton iterations against one pyramid level (hessian.h:185-241).
+
+    Returns (new_pt, status).
+    """
+
+    def score_at(xy):
+        return patch_ops.score(ref_patch, patch_ops.extract(level, xy), weight)
+
+    grad_fn = jax.grad(score_at)
+    hess_fn = jax.jacfwd(jax.grad(score_at))
+
+    def body(carry):
+        xy, status, it, done = carry
+
+        oob = (
+            (xy[0] < _MARGIN)
+            | (xy[1] < _MARGIN)
+            | (xy[0] + _MARGIN > level.width)
+            | (xy[1] + _MARGIN > level.height)
+        )
+
+        g = grad_fn(xy)
+        h = hess_fn(xy)
+        det = h[0, 0] * h[1, 1] - h[0, 1] * h[1, 0]
+        safe_det = jnp.where(jnp.abs(det) > 1e-20, det, jnp.where(det >= 0, 1e-20, -1e-20))
+        d = -jnp.stack(
+            [h[1, 1] * g[0] - h[0, 1] * g[1], -h[1, 0] * g[0] + h[0, 0] * g[1]]
+        ) / safe_det
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+
+        n = jnp.linalg.norm(d)
+        d = jnp.where(n > 1.0, d / jnp.maximum(n, 1e-20), d)
+        step = jnp.clip(d, -1.0, 1.0)
+
+        new_xy = jnp.where(oob, xy, xy + step)
+        converged = (jnp.abs(d[0]) < threshold) & (jnp.abs(d[1]) < threshold)
+
+        new_status = jnp.where(oob, OUT_OF_BOUNDS, status)
+        new_done = done | oob | converged
+        return (
+            jnp.where(done, xy, new_xy),
+            jnp.where(done, status, new_status),
+            it + 1,
+            new_done,
+        )
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    pt = jnp.asarray(pt, jnp.float32)
+    xy, status, _, _ = lax.while_loop(
+        cond, body, (pt, jnp.int32(OK), jnp.int32(0), jnp.bool_(False))
+    )
+    # final bounds check mirrors the loop-top test for the last update
+    oob = (
+        (xy[0] < _MARGIN)
+        | (xy[1] < _MARGIN)
+        | (xy[0] + _MARGIN > level.width)
+        | (xy[1] + _MARGIN > level.height)
+    )
+    status = jnp.where(oob, OUT_OF_BOUNDS, status)
+    return xy, status
+
+
+def track_feature(pyr: Sequence[PyramidLevel], patches: Patch, pt, lvls,
+                  weight, threshold: float = 0.001, max_iters: int = 10):
+    """Coarse-to-fine TrackFeature (hessian.h:243-264) with a *dynamic*
+    per-feature level count ``lvls`` (the matcher uses 3 or 6 by point
+    uncertainty, matcher.cpp:227-229). The loop over pyramid levels is
+    static (they have different shapes); levels coarser than lvls-1 are
+    skipped by masking.
+
+    Returns (new_pt, ok: bool).
+    """
+    n_levels = len(pyr)
+    lvls = jnp.asarray(lvls, jnp.int32)
+    scale0 = (2.0 ** (lvls - 1)).astype(jnp.float32)
+    p = jnp.asarray(pt, jnp.float32) / scale0
+    status = jnp.int32(OK)
+
+    for i in range(n_levels - 1, -1, -1):
+        active = i <= lvls - 1
+        new_p, st = track_level(
+            pyr[i], _level_patch(patches, i), p, weight, threshold, max_iters
+        )
+        failed = status != OK
+        p = jnp.where(active & ~failed, new_p, p)
+        status = jnp.where(active & ~failed, st, status)
+        if i > 0:
+            p = jnp.where(active, p * 2.0, p)
+
+    return p, status == OK
+
+
+def track_bidirectional(pyr_from: Sequence[PyramidLevel],
+                        pyr_to: Sequence[PyramidLevel],
+                        from_pt, init_to_pt, lvls, weight,
+                        threshold: float = 0.001, max_iters: int = 10,
+                        roundtrip_px: float = 0.3,
+                        min_variance: float = 1e-5):
+    """Forward/backward consistency tracking (matcher.cpp:173-206).
+
+    Forward: patches at from_pt in pyr_from, tracked in pyr_to starting at
+    init_to_pt. Backward: patches at the forward result in pyr_to, tracked
+    in pyr_from starting from from_pt. Accept when both succeed and the
+    round trip lands within ``roundtrip_px`` of from_pt.
+
+    ``min_variance`` gates textureless patches: a flat patch has a
+    degenerate score Hessian, so Newton reports instant convergence and the
+    round trip trivially passes — a false match. The reference has the same
+    hole (its SMALL_DET status, hessian.h:50, is never raised); we reject on
+    finest-level patch variance instead of copying it.
+
+    Returns (to_pt, ok).
+    """
+    p1 = get_patch_stack(pyr_from, from_pt)
+    to_pt, ok1 = track_feature(pyr_to, p1, init_to_pt, lvls, weight, threshold, max_iters)
+
+    p2 = get_patch_stack(pyr_to, to_pt)
+    back_pt, ok2 = track_feature(pyr_from, p2, from_pt, lvls, weight, threshold, max_iters)
+
+    textured = (p1.sumsq[0] - p1.mean[0] ** 2) >= min_variance
+    ok = ok1 & ok2 & textured & (jnp.linalg.norm(from_pt - back_pt) <= roundtrip_px)
+    return to_pt, ok
