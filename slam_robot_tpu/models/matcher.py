@@ -1,0 +1,247 @@
+"""Feature lifecycle: per-frame tracking orchestration (matcher.cpp rebuilt).
+
+The reference keeps a deque of <=4 keyframe "Views" (pyramid + per-feature
+match locations) and, per frame (matcher.cpp:301-405):
+
+1. drops features whose point is no longer feature-usable
+2. for each live feature, walks its stored per-view matches and
+   forward+backward tracks the first one that succeeds into the new image,
+   predicting the start location by projecting the 3D point when its
+   uncertainty is low (FindMatches, matcher.cpp:208-271); failures at 3
+   pyramid levels retry at 6 (matcher.cpp:248)
+3. writes successful matches into the map as observations
+4. if matches < 40 the frame becomes a keyframe: matches are stored into a
+   new view, Shi-Tomasi corners are detected, suppressed near existing
+   matches by a 30x30 occupancy grid, and surviving corners seed new
+   TrackedPoints at depth 2000 (matcher.cpp:353-394); the view ring drops
+   its oldest entry beyond 4 (matcher.cpp:397-402)
+
+TPU-native shape: feature slots are a fixed-capacity table; views are a
+fixed ring of stored (padded) pyramids; every per-feature decision is a
+mask; the keyframe branch is one lax.cond. View preference order is
+newest-first (deterministic) where the reference iterates a pointer-keyed
+std::map (indeterminate order, matcher.cpp:221).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.models import localmap as lm
+from slam_robot_tpu.ops import corners as corner_ops
+from slam_robot_tpu.ops import patch as patch_ops
+from slam_robot_tpu.ops import projection as proj
+from slam_robot_tpu.ops import pyramid as pyr
+from slam_robot_tpu.ops import tracker
+from slam_robot_tpu.ops.pyramid import PAD, PyramidLevel
+
+
+def level_dims(height: int, width: int, depth: int) -> tuple[tuple[int, int], ...]:
+    dims = [(height, width)]
+    for _ in range(1, depth):
+        h, w = dims[-1]
+        dims.append(((h + 1) // 2, (w + 1) // 2))
+    return tuple(dims)
+
+
+class MatcherState(NamedTuple):
+    view_frame: jnp.ndarray   # [V] int32 map frame index, -1 = empty slot
+    view_pyr: tuple           # per level l: [V, H_l + 2*PAD, W_l + 2*PAD] f32
+    feat_point: jnp.ndarray   # [NF] int32 map point index, -1 = dead
+    feat_px: jnp.ndarray      # [NF, V, 2] stored match per view
+    feat_valid: jnp.ndarray   # [NF, V] bool
+
+
+def init(cfg: SlamConfig) -> MatcherState:
+    V, NF = cfg.max_views, cfg.max_features
+    dims = level_dims(cfg.image_height, cfg.image_width, cfg.pyramid_depth)
+    return MatcherState(
+        view_frame=jnp.full((V,), -1, jnp.int32),
+        view_pyr=tuple(
+            jnp.zeros((V, h + 2 * PAD, w + 2 * PAD), jnp.float32) for h, w in dims
+        ),
+        feat_point=jnp.full((NF,), -1, jnp.int32),
+        feat_px=jnp.zeros((NF, V, 2), jnp.float32),
+        feat_valid=jnp.zeros((NF, V), bool),
+    )
+
+
+def _view_levels(ms: MatcherState, vi, dims) -> tuple[PyramidLevel, ...]:
+    return tuple(
+        PyramidLevel(padded=ms.view_pyr[l][vi], height=dims[l][0], width=dims[l][1])
+        for l in range(len(ms.view_pyr))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track(
+    ms: MatcherState,
+    map_state: lm.MapState,
+    img,
+    frame_idx,
+    camera_idx,
+    cfg: SlamConfig,
+):
+    """One Matcher::Track step. ``img`` is [H,W(,3)] uint8 or f32.
+
+    Returns (matcher_state, map_state, metrics-dict).
+    """
+    dims = level_dims(cfg.image_height, cfg.image_width, cfg.pyramid_depth)
+    NF, V = cfg.max_features, cfg.max_views
+    weight = patch_ops.radial_mask(cfg.patch_size, cfg.mask_bias)
+
+    new_pyr = pyr.build_pyramid(
+        img, cfg.pyramid_depth, cfg.blur_sigma0, cfg.blur_sigma_down
+    )
+
+    # 1. drop features whose point became unusable (matcher.cpp:327-330,
+    #    minus its erase-while-iterating UB)
+    pt_idx = ms.feat_point
+    pt_ok = (pt_idx >= 0) & lm.feature_usable(map_state.point_flags[pt_idx.clip(0)])
+    pt_idx = jnp.where(pt_ok, pt_idx, -1)
+    ms = ms._replace(feat_point=pt_idx)
+    live = pt_idx >= 0
+
+    # prediction inputs for the *current* frame pose
+    fq = map_state.frame_quat[frame_idx]
+    ft = map_state.frame_trans[frame_idx]
+    k = map_state.cam_k[camera_idx]
+    unc = map_state.point_uncertainty[pt_idx.clip(0)]
+    loc = map_state.point_loc[pt_idx.clip(0)]
+    pred_px, pred_ok = jax.vmap(proj.project_point, in_axes=(None, None, None, 0))(
+        fq, ft, k, loc
+    )
+    lvls3 = jnp.where(unc > cfg.uncertainty_confident, cfg.levels_unsure,
+                      cfg.levels_confident).astype(jnp.int32)
+
+    # 2. FindMatches: try stored views newest-first
+    order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
+    matched = jnp.zeros((NF,), bool)
+    to_px = jnp.zeros((NF, 2), jnp.float32)
+
+    for rank in range(V):
+        vi = order[rank]
+        view_ok = ms.view_frame[vi] >= 0
+        from_pt = ms.feat_px[:, vi]
+        has = ms.feat_valid[:, vi]
+        cand = live & ~matched & view_ok & has
+
+        start = jnp.where(
+            ((unc < cfg.uncertainty_confident) & pred_ok)[:, None], pred_px, from_pt
+        )
+        inb = (
+            (start[:, 0] >= 0)
+            & (start[:, 1] >= 0)
+            & (start[:, 0] < cfg.image_width)
+            & (start[:, 1] <= cfg.image_height)
+        )
+        cand = cand & inb
+
+        view_levels = _view_levels(ms, vi, dims)
+
+        def one(fp, st, lv):
+            return tracker.track_bidirectional(
+                view_levels, new_pyr, fp, st, lv, weight,
+                cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
+            )
+
+        res_px, res_ok = jax.vmap(one)(from_pt, start, lvls3)
+        # retry failures at 6 levels (matcher.cpp:248)
+        retry_px, retry_ok = jax.vmap(one)(
+            from_pt, start, jnp.full((NF,), cfg.levels_unsure, jnp.int32)
+        )
+        need_retry = ~res_ok & (lvls3 != cfg.levels_unsure)
+        got = jnp.where(need_retry, retry_ok, res_ok)
+        got_px = jnp.where(need_retry[:, None], retry_px, res_px)
+
+        newly = cand & got
+        matched = matched | newly
+        to_px = jnp.where(newly[:, None], got_px, to_px)
+
+    # 3. write observations (matcher.cpp:255-257)
+    map_state = lm.add_observations(map_state, frame_idx, pt_idx, to_px, matched)
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+
+    # 4. keyframe branch (matcher.cpp:353-402)
+    is_kf = n_matches < cfg.min_matches
+
+    def keyframe_branch(args):
+        ms, map_state = args
+        # ring slot: empty (-1) first, else oldest
+        slot = jnp.argmin(ms.view_frame)
+        view_frame = ms.view_frame.at[slot].set(jnp.int32(frame_idx))
+        view_pyr = tuple(
+            ms.view_pyr[l].at[slot].set(new_pyr[l].padded)
+            for l in range(len(ms.view_pyr))
+        )
+        feat_valid = ms.feat_valid.at[:, slot].set(matched)
+        feat_px = ms.feat_px.at[:, slot].set(to_px)
+
+        map_state = map_state._replace(
+            frame_keyframe=map_state.frame_keyframe.at[frame_idx].set(True)
+        )
+
+        # detect new corners on the (blurred) level-0 image
+        grey = new_pyr[0].padded[PAD:-PAD, PAD:-PAD]
+        cpts, cval = corner_ops.detect(
+            grey, cfg.max_corners, cfg.corner_quality, cfg.corner_min_dist
+        )
+        occ = corner_ops.occupancy_grid(
+            to_px, matched, cfg.image_width, cfg.image_height, cfg.suppress_grid
+        )
+        cval = corner_ops.suppress_by_grid(
+            cpts, cval, occ, cfg.image_width, cfg.image_height, cfg.suppress_grid
+        )
+
+        # seed new points at depth 2000 (matcher.cpp:376-385)
+        plane = proj.pixel_to_plane(cpts, k)
+        locs = jax.vmap(proj.unproject, in_axes=(None, None, 0, None))(
+            fq, ft, plane, cfg.seed_depth_mm
+        )
+        # assign to free feature slots
+        free = ms.feat_point < 0
+        slot_order = jnp.argsort(~free)  # free slots first (stable)
+        n_free = jnp.sum(free.astype(jnp.int32))
+        kk = cpts.shape[0]
+        dest = slot_order[jnp.arange(kk).clip(0, NF - 1)]
+        assign = cval & (jnp.arange(kk) < n_free)
+
+        map_state, pids = lm.add_points(map_state, locs, assign)
+        assign = assign & (pids >= 0)
+        map_state = lm.add_observations(map_state, frame_idx, pids, cpts, assign)
+
+        sdest = jnp.where(assign, dest, NF)  # OOB drops
+        feat_point = ms.feat_point.at[sdest].set(pids, mode="drop")
+        feat_px = feat_px.at[sdest, slot].set(cpts, mode="drop")
+        feat_valid = feat_valid.at[sdest].set(False, mode="drop")
+        feat_valid = feat_valid.at[sdest, slot].set(True, mode="drop")
+
+        ms = ms._replace(
+            view_frame=view_frame,
+            view_pyr=view_pyr,
+            feat_point=feat_point,
+            feat_px=feat_px,
+            feat_valid=feat_valid,
+        )
+        n_added = jnp.sum(assign.astype(jnp.int32))
+        return ms, map_state, n_added
+
+    def plain_branch(args):
+        ms, map_state = args
+        return ms, map_state, jnp.int32(0)
+
+    ms, map_state, n_added = jax.lax.cond(
+        is_kf, keyframe_branch, plain_branch, (ms, map_state)
+    )
+
+    metrics = {
+        "n_matches": n_matches,
+        "n_added": n_added,
+        "is_keyframe": is_kf,
+    }
+    return ms, map_state, metrics

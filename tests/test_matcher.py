@@ -1,0 +1,153 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.models import localmap as lm
+from slam_robot_tpu.models import matcher
+from slam_robot_tpu.ops import corners as corner_ops
+from slam_robot_tpu.ops import pyramid as pyr
+from slam_robot_tpu.utils import synthetic
+
+CFG = SlamConfig(
+    image_width=160,
+    image_height=120,
+    pyramid_depth=4,
+    levels_unsure=4,
+    max_features=64,
+    max_corners=30,
+    min_matches=10,
+    max_frames=16,
+    max_points=256,
+    max_obs=4096,
+    max_obs_per_point=16,
+)
+
+
+def texture(seed, h=120, w=160):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(size=(h, w)).astype(np.float32)
+    img = np.asarray(pyr.blur(jnp.asarray(img), 1.5))
+    coarse = np.kron(
+        rng.uniform(size=(h // 8 + 1, w // 8 + 1)).astype(np.float32),
+        np.ones((8, 8), np.float32),
+    )[:h, :w]
+    return 0.6 * img + 0.4 * np.asarray(pyr.blur(jnp.asarray(coarse), 2.0))
+
+
+def shift(img, dx, dy):
+    h, w = img.shape
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    xs = np.clip(x - dx, 0, w - 1.001)
+    ys = np.clip(y - dy, 0, h - 1.001)
+    x0, y0 = xs.astype(int), ys.astype(int)
+    fx, fy = xs - x0, ys - y0
+    return (
+        (1 - fy) * (1 - fx) * img[y0, x0]
+        + (1 - fy) * fx * img[y0, x0 + 1]
+        + fy * (1 - fx) * img[y0 + 1, x0]
+        + fy * fx * img[y0 + 1, x0 + 1]
+    ).astype(np.float32)
+
+
+def fresh():
+    k = synthetic.reference_intrinsics(CFG)
+    # scale intrinsics to the small test image
+    k = k * np.array([1, 1, 1, 0.25, 0.25, 0, 0], np.float32) + np.array(
+        [0, 0, 0, 0, 0, 80, 60], np.float32
+    ) * np.array([0, 0, 0, 0, 0, 1, 1], np.float32)
+    s = lm.empty(CFG)
+    s = lm.set_camera(s, 0, k)
+    s = lm.set_camera(s, 1, k)
+    return matcher.init(CFG), s
+
+
+def test_corner_detection_basic():
+    img = jnp.asarray(texture(0))
+    pts, valid = corner_ops.detect(img, 30, 0.01, 10.0)
+    n = int(valid.sum())
+    assert n > 10
+    p = np.asarray(pts)[np.asarray(valid)]
+    # min-distance respected
+    d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    assert d.min() >= 10.0
+    # inside border
+    assert p[:, 0].min() >= 8 and p[:, 0].max() < 160 - 8
+
+
+def test_occupancy_suppression():
+    pts = jnp.array([[50.0, 50.0], [51.0, 51.0], [150.0, 100.0]])
+    valid = jnp.array([True, True, True])
+    occ = corner_ops.occupancy_grid(pts[:1], valid[:1], 160, 120, 30)
+    keep = corner_ops.suppress_by_grid(pts, valid, occ, 160, 120, 30)
+    assert not bool(keep[0]) and not bool(keep[1]) and bool(keep[2])
+
+
+def test_first_frame_is_keyframe_and_seeds():
+    ms, s = fresh()
+    s, f0 = lm.add_frame(s, 0)
+    img = texture(0)
+    ms, s, m = matcher.track(ms, s, jnp.asarray(img), f0, 0, CFG)
+    assert bool(m["is_keyframe"])
+    assert int(m["n_matches"]) == 0
+    assert int(m["n_added"]) > 10
+    assert int(s.n_points) == int(m["n_added"])
+    assert int(s.n_obs) == int(m["n_added"])
+    # features registered in the view ring
+    assert int(ms.view_frame[0]) == 0 or 0 in np.asarray(ms.view_frame)
+    assert int((ms.feat_point >= 0).sum()) == int(m["n_added"])
+
+
+def test_second_frame_tracks_features():
+    ms, s = fresh()
+    img0 = texture(0)
+    img1 = shift(img0, 3.0, -2.0)
+
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(img0), f0, 0, CFG)
+    n0 = int(m0["n_added"])
+
+    s, f1 = lm.add_frame(s, 1)
+    ms, s, m1 = matcher.track(ms, s, jnp.asarray(img1), f1, 1, CFG)
+    assert int(m1["n_matches"]) >= CFG.min_matches
+    assert not bool(m1["is_keyframe"])
+
+    # matched observations should be at the shifted location
+    rows = np.asarray(s.obs_frame)[: int(s.n_obs)] == 1
+    px1 = np.asarray(s.obs_px)[: int(s.n_obs)][rows]
+    pids = np.asarray(s.obs_point)[: int(s.n_obs)][rows]
+    rows0 = np.asarray(s.obs_frame)[: int(s.n_obs)] == 0
+    px0 = np.asarray(s.obs_px)[: int(s.n_obs)][rows0]
+    pids0 = np.asarray(s.obs_point)[: int(s.n_obs)][rows0]
+    lookup = {int(p): px0[i] for i, p in enumerate(pids0)}
+    errs = [
+        np.linalg.norm(px1[i] - (lookup[int(p)] + np.array([3.0, -2.0])))
+        for i, p in enumerate(pids)
+        if int(p) in lookup
+    ]
+    assert np.median(errs) < 0.2
+    assert n0 >= int(m1["n_matches"])
+
+
+def test_scene_change_triggers_keyframe():
+    ms, s = fresh()
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, _ = matcher.track(ms, s, jnp.asarray(texture(0)), f0, 0, CFG)
+    s, f1 = lm.add_frame(s, 1)
+    ms, s, m1 = matcher.track(ms, s, jnp.asarray(texture(7)), f1, 1, CFG)
+    assert bool(m1["is_keyframe"])
+    assert int(m1["n_added"]) > 5
+    # two views now stored
+    assert int((ms.view_frame >= 0).sum()) == 2
+
+
+def test_dead_feature_dropped():
+    ms, s = fresh()
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(texture(0)), f0, 0, CFG)
+    # kill one point
+    s = s._replace(point_flags=s.point_flags.at[0].set(lm.MISMATCHED))
+    s, f1 = lm.add_frame(s, 1)
+    ms, s, _ = matcher.track(ms, s, jnp.asarray(shift(texture(0), 1, 1)), f1, 1, CFG)
+    assert 0 not in np.asarray(ms.feat_point)
