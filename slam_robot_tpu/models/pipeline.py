@@ -1,0 +1,187 @@
+"""The full per-frame SLAM step: the reference's main loop as one jitted
+function (main.cpp:503-645 rebuilt).
+
+Per frame:
+1. camera ^= 1 (alternating stereo, main.cpp:507)
+2. add a frame with the pose init rules (main.cpp:540-552): frame 0 at
+   identity, frame 1 at +baseline x, later frames copy the pose from two
+   frames ago (same physical camera)
+3. matcher.track + observation commit (main.cpp:560-564)
+4. fast window BA solve_frames(2,5) -> reproject -> clean (main.cpp:580-584)
+5. every 5th frame and the first 10: slow window solve_frames(10,20) ->
+   reproject -> clean (main.cpp:587-597)
+6. ApplyEpipolarConstraint (main.cpp:599)
+7. reproject -> Normalize -> reproject, with the error-invariance check
+   surfaced as a metric instead of a CHECK crash (main.cpp:602-605)
+
+Everything below the image fetch is a single jit-compiled function of
+(PipelineState, image); the host loop just feeds frames
+(io/sources + run_replay).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.models import localmap as lm
+from slam_robot_tpu.models import matcher as matcher_mod
+from slam_robot_tpu.models import slam
+from slam_robot_tpu.ops import quaternion as quat
+from slam_robot_tpu.utils import synthetic
+
+
+class PipelineState(NamedTuple):
+    map: lm.MapState
+    matcher: matcher_mod.MatcherState
+    camera: jnp.ndarray          # int32: camera of the *previous* frame
+    total_ba_iters: jnp.ndarray  # int32 cumulative (slam.h:48)
+    last_error: jnp.ndarray      # f32 final BA cost (slam.h:49)
+
+
+def init(cfg: SlamConfig, intrinsics=None) -> PipelineState:
+    """Two cameras with the reference's intrinsics by default
+    (main.cpp:474-486)."""
+    m = lm.empty(cfg)
+    if intrinsics is None:
+        intrinsics = [synthetic.reference_intrinsics(cfg)] * cfg.num_cameras
+    for i in range(cfg.num_cameras):
+        m = lm.set_camera(m, i, intrinsics[i])
+    return PipelineState(
+        map=m,
+        matcher=matcher_mod.init(cfg),
+        camera=jnp.int32(0),
+        total_ba_iters=jnp.int32(0),
+        last_error=jnp.float32(0.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "run_slam"))
+def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
+    """One full SLAM step. Returns (PipelineState, metrics dict)."""
+    camera = ps.camera ^ 1
+    m = ps.map
+
+    # pose init (main.cpp:540-552)
+    n = m.n_frames
+    q0 = quat.identity()
+    t0 = jnp.zeros(3, jnp.float32)
+    q1 = m.frame_quat[0]
+    t1 = jnp.array([cfg.baseline_mm, 0.0, 0.0], jnp.float32)
+    qp = m.frame_quat[jnp.maximum(n - 2, 0)]
+    tp = m.frame_trans[jnp.maximum(n - 2, 0)]
+    init_q = jnp.where(n == 0, q0, jnp.where(n == 1, q1, qp))
+    init_t = jnp.where(n == 0, t0, jnp.where(n == 1, t1, tp))
+
+    m, frame_idx = lm.add_frame(m, camera, init_q, init_t)
+
+    ms, m, track_metrics = matcher_mod.track(
+        ps.matcher, m, img, frame_idx, camera, cfg
+    )
+
+    metrics = dict(track_metrics)
+    metrics["frame_id"] = frame_idx
+
+    if run_slam:
+        def do_slam(m):
+            m, res_fast = slam.solve_frames(
+                m, cfg.solve_fast[0], cfg.solve_fast[1], cfg.ba_range, cfg
+            )
+            m, _ = lm.reproject(m, cfg.cheirality_eps)
+
+            def after_fast(m):
+                m, _ok = lm.clean(m, cfg.error_threshold, cfg)
+                return m
+
+            m = jax.lax.cond(res_fast.ok, after_fast, lambda m: m, m)
+
+            # slow window on early frames and every 5th (main.cpp:587-597)
+            slow_due = (frame_idx < cfg.slow_first_n) | (
+                jnp.mod(frame_idx, cfg.slow_every) == 0
+            )
+
+            def do_slow(m):
+                m, res = slam.solve_frames(
+                    m, cfg.solve_slow[0], cfg.solve_slow[1], cfg.ba_range, cfg
+                )
+                m, _ = lm.reproject(m, cfg.cheirality_eps)
+                m, _ok = lm.clean(m, cfg.error_threshold, cfg)
+                return m, res
+
+            def no_slow(m):
+                zero = jax.tree.map(jnp.zeros_like, res_fast)
+                return m, zero._replace(ok=jnp.bool_(True))
+
+            m, res_slow = jax.lax.cond(slow_due, do_slow, no_slow, m)
+
+            m = lm.apply_epipolar_constraint(m, cfg)
+
+            m, err1 = lm.reproject(m, cfg.cheirality_eps)
+            m = lm.normalize(m)
+            m, err2 = lm.reproject(m, cfg.cheirality_eps)
+            return m, res_fast, res_slow, err1, err2
+
+        def skip_slam(m):
+            zero_res = slam_zero_result(m, cfg)
+            return m, zero_res, zero_res, jnp.float32(0.0), jnp.float32(0.0)
+
+        # the reference skips BA on the very first frame (prev image check,
+        # main.cpp:570-573)
+        m, res_fast, res_slow, err1, err2 = jax.lax.cond(
+            frame_idx >= 1, do_slam, skip_slam, m
+        )
+        metrics.update(
+            fast_ok=res_fast.ok,
+            fast_iters=res_fast.iters,
+            slow_ok=res_slow.ok,
+            slow_iters=res_slow.iters,
+            mean_reproj_err=err2,
+            normalize_err_drift=jnp.abs(err1 - err2),
+            ba_cost=res_fast.cost,
+        )
+        total_iters = ps.total_ba_iters + res_fast.iters + res_slow.iters
+        last_error = res_fast.cost
+    else:
+        total_iters = ps.total_ba_iters
+        last_error = ps.last_error
+        metrics.update(
+            fast_ok=jnp.bool_(True),
+            fast_iters=jnp.int32(0),
+            slow_ok=jnp.bool_(True),
+            slow_iters=jnp.int32(0),
+            mean_reproj_err=jnp.float32(0.0),
+            normalize_err_drift=jnp.float32(0.0),
+            ba_cost=jnp.float32(0.0),
+        )
+
+    metrics["n_points"] = m.n_points
+    metrics["n_obs"] = m.n_obs
+
+    return (
+        PipelineState(
+            map=m,
+            matcher=ms,
+            camera=camera,
+            total_ba_iters=total_iters,
+            last_error=last_error,
+        ),
+        metrics,
+    )
+
+
+def slam_zero_result(m, cfg):
+    from slam_robot_tpu.ops import ba
+
+    return ba.BAResult(
+        frame_quat=m.frame_quat,
+        frame_trans=m.frame_trans,
+        point_loc=m.point_loc,
+        cam_k=m.cam_k,
+        ok=jnp.bool_(True),
+        cost=jnp.float32(0.0),
+        iters=jnp.int32(0),
+    )

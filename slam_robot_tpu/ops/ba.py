@@ -1,0 +1,429 @@
+"""Schur-complement Levenberg-Marquardt bundle adjustment.
+
+Replaces the reference's Ceres solve (slam.cpp:257-521: AutoDiff
+ReprojectionError<2,4,3,7,4> blocks with CauchyLoss(range), quaternion local
+parameterization, FrameDistance priors, SPARSE_SCHUR + SCHUR_JACOBI,
+function_tolerance 1e-7) with a TPU-native batched solver:
+
+- residuals & Jacobians: one vmapped ``jax.jacfwd`` over the observation
+  table; frame rotations are differentiated in the 3-dof tangent space of
+  the reference's exp-map retraction, points in raw homogeneous 4-space
+  (Ceres gives points no local parameterization either — the scale gauge is
+  handled by LM damping)
+- robust loss: Cauchy rho(s) = c^2 log(1 + s/c^2) via IRLS weights
+  w = rho'(s) = 1/(1 + s/c^2)
+- normal equations are never formed densely over points: landmark blocks
+  C_p (4x4) are eliminated in a batched Schur complement; the reduced
+  camera system is a dense [6*W (+7*C)] matrix assembled with
+  scatter-adds and one big einsum — MXU food
+- free/const structure reproduces SetupProblem exactly: const frames
+  contribute residuals but no columns; points are const unless seen from a
+  free frame, except uncertainty > 100 keeps them free (slam.cpp:344-354);
+  present frames with no usable observation are skipped, and < 2 usable
+  frames aborts the solve (slam.cpp:305-308)
+- FrameDistance prior: 0.1 * (||t_f - t_prev|| - 150) under CauchyLoss(15)
+  between consecutive solved frames (slam.cpp:383-411)
+- optional camera-intrinsics solving with the CameraStabilization
+  regularizer (slam.cpp:107-124, 459-471): camera parameters join the
+  reduced system as two extra 7-wide column groups
+
+Everything is fixed-shape: the reduced system has capacity
+``max_free_frames`` slots; masks do the rest.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from slam_robot_tpu.ops import projection as proj
+from slam_robot_tpu.ops import quaternion as quat
+
+_HI = lax.Precision.HIGHEST
+
+
+class BAConfig(NamedTuple):
+    range: float = 2.0            # CauchyLoss scale for reprojection
+    max_iters: int = 50
+    ftol: float = 1e-7
+    baseline: float = 150.0       # FrameDistance target
+    frame_dist_weight: float = 0.1
+    frame_dist_loss: float = 15.0
+    uncertainty_free: float = 100.0
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 0.5
+    max_free_frames: int = 16     # reduced-system frame slot capacity
+    cheirality_eps: float = 0.001
+    solve_cameras: bool = False
+    camera_loss: float = 5.0      # CauchyLoss on the stabilization residual
+    stab_focal: float = 416.0
+    stab_cx: float = 320.0
+    stab_cy: float = 240.0
+
+
+class BAResult(NamedTuple):
+    frame_quat: jnp.ndarray
+    frame_trans: jnp.ndarray
+    point_loc: jnp.ndarray
+    cam_k: jnp.ndarray
+    ok: jnp.ndarray         # solve ran (enough usable frames)
+    cost: jnp.ndarray       # final robust cost
+    iters: jnp.ndarray      # LM iterations executed
+
+
+def _cauchy_weight(s, c):
+    return 1.0 / (1.0 + s / (c * c))
+
+
+def _cauchy_rho(s, c):
+    return c * c * jnp.log1p(s / (c * c))
+
+
+def _stab_residual(k, cfg: BAConfig):
+    """CameraStabilization (slam.cpp:107-124), constants lifted to config."""
+    return jnp.stack([
+        1000.0 * k[0] * k[0],
+        1000.0 * k[1] * k[1],
+        1000.0 * k[2] * k[2],
+        0.1 * (k[3] - cfg.stab_focal) ** 2,
+        0.1 * (k[4] + k[3]) ** 2,
+        0.01 * (k[5] - cfg.stab_cx) ** 2,
+        0.01 * (k[6] - cfg.stab_cy) ** 2,
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve(
+    frame_quat,      # [F,4]
+    frame_trans,     # [F,3]
+    frame_cam,       # [F] int32
+    cam_k,           # [C,7]
+    point_loc,       # [P,4]
+    point_uncertainty,  # [P]
+    obs_frame,       # [O] int32
+    obs_point,       # [O] int32
+    obs_px,          # [O,2]
+    obs_ok,          # [O] bool: active & enabled & slam_usable & present
+    present,         # [F] bool
+    free_frame,      # [F] bool (subset of present)
+    cfg: BAConfig = BAConfig(),
+) -> BAResult:
+    F = frame_quat.shape[0]
+    P = point_loc.shape[0]
+    O = obs_frame.shape[0]
+    C = cam_k.shape[0]
+    W = cfg.max_free_frames
+    DF = 6 * W
+    DK = 7 * C if cfg.solve_cameras else 0
+    D = DF + DK
+
+    f_idx = obs_frame.clip(0)
+    p_idx = obs_point.clip(0)
+    c_idx = frame_cam[f_idx]
+
+    # ---- structure masks (slam.cpp:267-308, 344-354) ----
+    frame_has_obs = (
+        jnp.zeros(F, jnp.int32).at[jnp.where(obs_ok, f_idx, F)].add(1, mode="drop") > 0
+    )
+    n_used = jnp.sum((present & frame_has_obs).astype(jnp.int32))
+    solvable = n_used >= 2
+    free_f = free_frame & frame_has_obs & solvable
+
+    point_in = (
+        jnp.zeros(P, jnp.int32).at[jnp.where(obs_ok, p_idx, P)].add(1, mode="drop") > 0
+    )
+    fluid = (
+        jnp.zeros(P, jnp.int32)
+        .at[jnp.where(obs_ok & free_f[f_idx], p_idx, P)]
+        .add(1, mode="drop")
+        > 0
+    )
+    free_p = point_in & (fluid | (point_uncertainty > cfg.uncertainty_free)) & solvable
+
+    # frame -> dense slot
+    slot_of = jnp.where(free_f, jnp.cumsum(free_f) - 1, W).astype(jnp.int32)
+    slot_of = jnp.minimum(slot_of, W)  # overflow drops (capacity guard)
+    obs_slot = slot_of[f_idx]          # W = const/no column
+
+    # frame prior structure (slam.cpp:383-411)
+    prev_present = jnp.roll(present, 1).at[0].set(False)
+    prior_f = free_f & prev_present & (jnp.arange(F) >= 1)
+
+    def residual_one(q, t, k, loc, px):
+        r, valid = proj.reprojection_error(q, t, k, loc, px, cfg.cheirality_eps)
+        return r, valid
+
+    def obs_residuals(fq, ft, ks, locs):
+        q = fq[f_idx]
+        t = ft[f_idx]
+        k = ks[c_idx]
+        loc = locs[p_idx]
+        r, valid = jax.vmap(residual_one)(q, t, k, loc, obs_px)
+        # non-finite residuals (corrupt input rows) must not poison the
+        # whole solve through the cost comparison — mask them out
+        use = obs_ok & valid & jnp.all(jnp.isfinite(r), axis=-1)
+        return jnp.where(use[:, None], r, 0.0), use
+
+    def total_cost(fq, ft, ks, locs):
+        r, use = obs_residuals(fq, ft, ks, locs)
+        s = jnp.sum(r * r, axis=-1)
+        cost = jnp.sum(jnp.where(use, _cauchy_rho(s, cfg.range), 0.0))
+        # frame prior
+        d = jnp.linalg.norm(ft - jnp.roll(ft, 1, axis=0), axis=-1)
+        rp = cfg.frame_dist_weight * (d - cfg.baseline)
+        cost += jnp.sum(
+            jnp.where(prior_f, _cauchy_rho(rp * rp, cfg.frame_dist_loss), 0.0)
+        )
+        if cfg.solve_cameras:
+            rs = jax.vmap(lambda k: _stab_residual(k, cfg))(ks)
+            s2 = jnp.sum(rs * rs, axis=-1)
+            cost += jnp.sum(_cauchy_rho(s2, cfg.camera_loss))
+        return 0.5 * cost
+
+    def build_step(fq, ft, ks, locs, lam):
+        """One damped normal-equation solve. Returns (dq_xi, dt, dk, dp)."""
+
+        # per-obs jacobians wrt (xi[3], t[3], k[7], p[4])
+        def res_params(xi, t, k, p, q0, px):
+            qq = quat.retract(q0, xi)
+            r, _ = proj.reprojection_error(qq, t, k, p, px, cfg.cheirality_eps)
+            return r
+
+        q = fq[f_idx]
+        t = ft[f_idx]
+        k = ks[c_idx]
+        loc = locs[p_idx]
+
+        r, use = obs_residuals(fq, ft, ks, locs)
+        s = jnp.sum(r * r, axis=-1)
+        w = jnp.where(use, _cauchy_weight(s, cfg.range), 0.0)
+
+        zero3 = jnp.zeros(3, fq.dtype)
+        argnums = (0, 1, 2, 3) if cfg.solve_cameras else (0, 1, 3)
+        jac = jax.vmap(jax.jacfwd(res_params, argnums=argnums))(
+            jnp.tile(zero3, (O, 1)), t, k, loc, q, obs_px
+        )
+        if cfg.solve_cameras:
+            jxi, jt, jk, jp = jac  # [O,2,3], [O,2,3], [O,2,7], [O,2,4]
+        else:
+            jxi, jt, jp = jac
+            jk = jnp.zeros((O, 2, 7))
+        jf = jnp.concatenate([jxi, jt], axis=-1)  # [O,2,6]
+
+        # zero out const columns and invalid (cheirality-failed) rows
+        jf = jf * (use & (obs_slot < W))[:, None, None]
+        jp = jp * (use & free_p[p_idx])[:, None, None]
+        jk = jk * use[:, None, None]
+        wr = w[:, None] * jnp.where(use[:, None], r, 0.0)
+
+        # landmark blocks
+        Cp = jnp.zeros((P, 4, 4)).at[p_idx].add(
+            jnp.einsum("oia,oib,o->oab", jp, jp, w, precision=_HI), mode="drop"
+        )
+        bp = jnp.zeros((P, 4)).at[p_idx].add(
+            -jnp.einsum("oia,oi->oa", jp, wr, precision=_HI), mode="drop"
+        )
+
+        # frame blocks + frame-point coupling
+        Hff = jnp.zeros((W + 1, 6, 6)).at[obs_slot].add(
+            jnp.einsum("oia,oib,o->oab", jf, jf, w, precision=_HI), mode="drop"
+        )[:W]
+        bf = jnp.zeros((W + 1, 6)).at[obs_slot].add(
+            -jnp.einsum("oia,oi->oa", jf, wr, precision=_HI), mode="drop"
+        )[:W]
+        A = jnp.zeros((P, W + 1, 6, 4)).at[p_idx, obs_slot].add(
+            jnp.einsum("oia,oib,o->oab", jf, jp, w, precision=_HI), mode="drop"
+        )[:, :W]
+
+        # ---- frame distance prior ----
+        tprev = jnp.roll(ft, 1, axis=0)
+        dvec = ft - tprev
+        dnorm = jnp.linalg.norm(dvec, axis=-1)
+        dhat = dvec / jnp.maximum(dnorm, 1e-9)[:, None]
+        rp = cfg.frame_dist_weight * (dnorm - cfg.baseline)
+        wp = jnp.where(prior_f, _cauchy_weight(rp * rp, cfg.frame_dist_loss), 0.0)
+        jp_t = cfg.frame_dist_weight * dhat          # d rp / d t_f   [F,3]
+        # scatter into reduced system
+        slot_f = slot_of
+        slot_prev = jnp.roll(slot_of, 1).at[0].set(W)
+        # diag contributions
+        blk = jnp.einsum("fa,fb,f->fab", jp_t, jp_t, wp, precision=_HI)
+        Hff = Hff.at[slot_f, 3:, 3:].add(jnp.where(prior_f[:, None, None], blk, 0.0), mode="drop")
+        Hff = Hff.at[slot_prev, 3:, 3:].add(
+            jnp.where((prior_f & (slot_prev < W))[:, None, None], blk, 0.0), mode="drop"
+        )
+        bf = bf.at[slot_f, 3:].add(
+            jnp.where(prior_f[:, None], -(wp * rp)[:, None] * jp_t, 0.0), mode="drop"
+        )
+        bf = bf.at[slot_prev, 3:].add(
+            jnp.where((prior_f & (slot_prev < W))[:, None], (wp * rp)[:, None] * jp_t, 0.0),
+            mode="drop",
+        )
+
+        # ---- assemble reduced system ----
+        lamI4 = lam * jnp.eye(4) * jnp.maximum(
+            jnp.einsum("pii->p", Cp)[:, None, None] / 4.0, 1e-6
+        ) + 1e-8 * jnp.eye(4)
+        Cdamp = Cp + lamI4
+        Cinv = jnp.where(
+            free_p[:, None, None], jnp.linalg.inv(Cdamp), jnp.zeros((4, 4))
+        )
+
+        S = jnp.zeros((D, D))
+        # frame diag blocks
+        eyeW = jnp.eye(6)
+        Hff_d = Hff + lam * eyeW * jnp.maximum(
+            jnp.einsum("fii->f", Hff)[:, None, None] / 6.0, 1e-6
+        ) + 1e-8 * eyeW
+        S = S.at[:DF, :DF].set(
+            jax.scipy.linalg.block_diag(*[Hff_d[i] for i in range(W)])
+        )
+        # prior off-diagonal coupling between slot_f and slot_prev
+        both = prior_f & (slot_f < W) & (slot_prev < W)
+        off = jnp.einsum("fa,fb,f->fab", jp_t, -jp_t, wp, precision=_HI)
+        off = jnp.where(both[:, None, None], off, 0.0)
+        rows = jnp.where(both[:, None], (slot_f * 6 + 3)[:, None] + jnp.arange(3)[None, :], D)
+        cols = jnp.where(both[:, None], (slot_prev * 6 + 3)[:, None] + jnp.arange(3)[None, :], D)
+        S = S.at[rows[:, :, None], cols[:, None, :]].add(off, mode="drop")
+        S = S.at[cols[:, :, None], rows[:, None, :]].add(
+            jnp.swapaxes(off, 1, 2), mode="drop"
+        )
+
+        # schur: S -= sum_p A C^-1 A^T   ([P,W,6,4] x [P,4,4] x [P,W,6,4])
+        ACi = jnp.einsum("pwia,pab->pwib", A, Cinv, precision=_HI)
+        S_ff = jnp.einsum("pwib,pvjb->wivj", ACi, A, precision=_HI)
+        S = S.at[:DF, :DF].add(-S_ff.reshape(DF, DF))
+
+        rhs = jnp.zeros((D,))
+        rhs = rhs.at[:DF].set(
+            (bf - jnp.einsum("pwib,pb->wi", ACi, bp, precision=_HI)).reshape(DF)
+        )
+
+        if cfg.solve_cameras:
+            # camera columns: coupling with frames and points
+            cslot = c_idx  # [O]
+            Hkk = jnp.zeros((C, 7, 7)).at[cslot].add(
+                jnp.einsum("oia,oib,o->oab", jk, jk, w, precision=_HI), mode="drop"
+            )
+            bk = jnp.zeros((C, 7)).at[cslot].add(
+                -jnp.einsum("oia,oi->oa", jk, wr, precision=_HI), mode="drop"
+            )
+            Hfk = jnp.zeros((W + 1, C, 6, 7)).at[obs_slot, cslot].add(
+                jnp.einsum("oia,oib,o->oab", jf, jk, w, precision=_HI), mode="drop"
+            )[:W]
+            Ak = jnp.zeros((P, C, 7, 4)).at[p_idx, cslot].add(
+                jnp.einsum("oia,oib,o->oab", jk, jp, w, precision=_HI), mode="drop"
+            )
+            # stabilization residuals
+            js = jax.vmap(jax.jacfwd(lambda k: _stab_residual(k, cfg)))(ks)  # [C,7,7]
+            rs = jax.vmap(lambda k: _stab_residual(k, cfg))(ks)
+            s2 = jnp.sum(rs * rs, axis=-1)
+            ws = _cauchy_weight(s2, cfg.camera_loss)
+            Hkk = Hkk + jnp.einsum("cia,cib,c->cab", js, js, ws, precision=_HI)
+            bk = bk - jnp.einsum("cia,ci,c->ca", js, rs, ws, precision=_HI)
+
+            Hkk_d = Hkk + lam * jnp.eye(7) * jnp.maximum(
+                jnp.einsum("cii->c", Hkk)[:, None, None] / 7.0, 1e-6
+            ) + 1e-8 * jnp.eye(7)
+
+            # schur corrections for camera blocks
+            AkCi = jnp.einsum("pcia,pab->pcib", Ak, Cinv, precision=_HI)
+            S_kk = jnp.einsum("pcib,pdjb->cidj", AkCi, Ak, precision=_HI)
+            S_fk = jnp.einsum("pwib,pcjb->wicj", ACi, Ak, precision=_HI)
+
+            S = S.at[DF:, DF:].set(
+                jax.scipy.linalg.block_diag(*[Hkk_d[i] for i in range(C)])
+                - S_kk.reshape(DK, DK)
+            )
+            fk = Hfk.reshape(DF, DK) - S_fk.reshape(DF, DK)
+            S = S.at[:DF, DF:].add(fk)
+            S = S.at[DF:, :DF].add(fk.T)
+            rhs = rhs.at[DF:].set(
+                bk.reshape(DK) - jnp.einsum("pcib,pb->ci", AkCi, bp, precision=_HI).reshape(DK)
+            )
+
+        # inactive slots get identity rows to stay non-singular
+        slot_active = jnp.repeat(jnp.arange(W) < jnp.sum(free_f), 6)
+        if cfg.solve_cameras:
+            slot_active = jnp.concatenate([slot_active, jnp.ones(DK, bool)])
+        S = jnp.where(
+            slot_active[:, None] & slot_active[None, :], S,
+            jnp.eye(D) * 1.0,
+        )
+        rhs = jnp.where(slot_active, rhs, 0.0)
+
+        delta = jnp.linalg.solve(S, rhs)
+        df = delta[:DF].reshape(W, 6)
+        dk = delta[DF:].reshape(C, 7) if cfg.solve_cameras else jnp.zeros((C, 7))
+
+        # back-substitute points: dp = Cinv (bp - A^T df - Ak^T dk)
+        Atd = jnp.einsum("pwia,wi->pa", A, df, precision=_HI)
+        if cfg.solve_cameras:
+            Atd = Atd + jnp.einsum("pcia,ci->pa", Ak, dk, precision=_HI)
+        dp = jnp.einsum("pab,pb->pa", Cinv, bp - Atd, precision=_HI)
+        dp = jnp.where(free_p[:, None], dp, 0.0)
+
+        # map frame slots back to frames (slot-capacity overflow stays const)
+        upd = (free_f & (slot_of < W))[:, None]
+        dxi = jnp.where(upd, df[slot_of.clip(0, W - 1), :3], 0.0)
+        dt = jnp.where(upd, df[slot_of.clip(0, W - 1), 3:], 0.0)
+        return dxi, dt, dk, dp
+
+    def apply(fq, ft, ks, locs, dxi, dt, dk, dp):
+        nq = jax.vmap(quat.retract)(fq, dxi)
+        nq = jnp.where(free_f[:, None], nq, fq)
+        nt = ft + dt
+        nk = ks + dk if cfg.solve_cameras else ks
+        nl = locs + dp
+        return nq, nt, nk, nl
+
+    # ---- LM loop ----
+    def lm_body(carry):
+        fq, ft, ks, locs, lam, cost, it, done = carry
+        dxi, dt, dk, dp = build_step(fq, ft, ks, locs, lam)
+        cq, ct, ck, cl = apply(fq, ft, ks, locs, dxi, dt, dk, dp)
+        new_cost = total_cost(cq, ct, ck, cl)
+        accept = new_cost < cost
+        fq = jnp.where(accept, cq, fq)
+        ft = jnp.where(accept, ct, ft)
+        ks = jnp.where(accept, ck, ks)
+        locs = jnp.where(accept, cl, locs)
+        new_lam = jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
+        new_lam = jnp.clip(new_lam, 1e-10, 1e8)
+        converged = accept & (
+            (cost - new_cost) <= cfg.ftol * jnp.maximum(cost, 1e-20)
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return fq, ft, ks, locs, new_lam, cost, it + 1, done | converged
+
+    def lm_cond(carry):
+        *_, it, done = carry
+        return (it < cfg.max_iters) & ~done
+
+    cost0 = total_cost(frame_quat, frame_trans, cam_k, point_loc)
+    init = (
+        frame_quat,
+        frame_trans,
+        cam_k,
+        point_loc,
+        jnp.float32(cfg.lm_lambda_init),
+        cost0,
+        jnp.int32(0),
+        ~solvable,  # unsolvable problems skip the loop entirely
+    )
+    fq, ft, ks, locs, _, cost, iters, _ = lax.while_loop(lm_cond, lm_body, init)
+
+    return BAResult(
+        frame_quat=jnp.where(solvable, fq, frame_quat),
+        frame_trans=jnp.where(solvable, ft, frame_trans),
+        point_loc=jnp.where(solvable, locs, point_loc),
+        cam_k=jnp.where(solvable, ks, cam_k),
+        ok=solvable,
+        cost=cost,
+        iters=iters,
+    )

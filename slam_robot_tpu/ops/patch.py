@@ -39,12 +39,16 @@ class Patch(NamedTuple):
 def radial_mask(size: int = 13, bias: float = 15.0) -> jnp.ndarray:
     """1/(bias + r^2) about the (0.5*size) corner-offset center, normalized
     to mean 1 (hessian.h:11-30 — note the reference centers at 0.5*size,
-    not the pixel center (size-1)/2; we keep its exact weighting)."""
-    x = jnp.arange(size, dtype=jnp.float32)
+    not the pixel center (size-1)/2; we keep its exact weighting).
+
+    Computed in numpy so the lru_cache never captures a jit tracer."""
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float32)
     rx = 0.5 * size - x
     rr = rx[None, :] ** 2 + rx[:, None] ** 2
     m = 1.0 / (bias + rr)
-    return m * (size * size / jnp.sum(m))
+    return jnp.asarray(m * (size * size / np.sum(m)))
 
 
 def extract(level: PyramidLevel, pt, size: int = 13) -> Patch:
