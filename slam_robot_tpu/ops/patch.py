@@ -36,19 +36,24 @@ class Patch(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def radial_mask(size: int = 13, bias: float = 15.0) -> jnp.ndarray:
-    """1/(bias + r^2) about the (0.5*size) corner-offset center, normalized
-    to mean 1 (hessian.h:11-30 — note the reference centers at 0.5*size,
-    not the pixel center (size-1)/2; we keep its exact weighting).
-
-    Computed in numpy so the lru_cache never captures a jit tracer."""
+def _radial_mask_np(size: int, bias: float):
     import numpy as np
 
     x = np.arange(size, dtype=np.float32)
     rx = 0.5 * size - x
     rr = rx[None, :] ** 2 + rx[:, None] ** 2
     m = 1.0 / (bias + rr)
-    return jnp.asarray(m * (size * size / np.sum(m)))
+    return m * (size * size / np.sum(m))
+
+
+def radial_mask(size: int = 13, bias: float = 15.0) -> jnp.ndarray:
+    """1/(bias + r^2) about the (0.5*size) corner-offset center, normalized
+    to mean 1 (hessian.h:11-30 — note the reference centers at 0.5*size,
+    not the pixel center (size-1)/2; we keep its exact weighting).
+
+    Only the numpy value is cached: any jnp value produced inside a jit
+    trace is a tracer, and caching one leaks it across traces."""
+    return jnp.asarray(_radial_mask_np(size, float(bias)))
 
 
 def extract(level: PyramidLevel, pt, size: int = 13) -> Patch:
