@@ -1,0 +1,91 @@
+"""Headline benchmark: full SLAM step rate (track + match + BA) at 640x480
+with a 1k-landmark map on one TPU chip.
+
+The reference publishes no numbers (BASELINE.md); the operative target is
+the BASELINE.json north star: >= 60 fps. Prints ONE JSON line:
+{"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/60}.
+
+Runs on whatever jax.devices() provides (the real TPU under the driver;
+JAX_PLATFORMS=cpu for a host smoke test). Frames are pre-rendered and
+device-resident so the measurement is the SLAM step itself, matching how
+the reference times its main loop after camera fetch (main.cpp:504-517).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_robot_tpu.config import SlamConfig
+    from slam_robot_tpu.models import pipeline, renderer
+    from slam_robot_tpu.ops import quaternion as quat
+    from slam_robot_tpu.utils import synthetic
+
+    cfg = SlamConfig()  # 640x480, max_points=1024 (the 1k-landmark config)
+    k = jnp.asarray(synthetic.reference_intrinsics(cfg))
+
+    # pre-render a short alternating-stereo sweep (device-resident)
+    world, bright = renderer.make_world(800, seed=0)
+    n_frames = 16
+    frames = []
+    for i in range(n_frames):
+        pair = i // 2
+        yaw = 0.004 * pair
+        q = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw)
+        t = jnp.array([150.0 * (i % 2), 0.0, 15.0 * pair])
+        frames.append(
+            renderer.render(q, t, k, world, bright,
+                            height=cfg.image_height, width=cfg.image_width)
+        )
+    frames = [jax.device_put(f) for f in frames]
+    jax.block_until_ready(frames)
+
+    ps = pipeline.init(cfg)
+
+    # warmup: compile + map bootstrap
+    t_compile = time.time()
+    ps, m = pipeline.step(ps, frames[0], cfg)
+    jax.block_until_ready(ps.map.frame_trans)
+    compile_s = time.time() - t_compile
+    for i in range(1, 4):
+        ps, m = pipeline.step(ps, frames[i], cfg)
+    jax.block_until_ready(ps.map.frame_trans)
+
+    # timed steady-state steps
+    n_timed = 24
+    t0 = time.time()
+    for i in range(n_timed):
+        ps, m = pipeline.step(ps, frames[(4 + i) % n_frames], cfg)
+    jax.block_until_ready(ps.map.frame_trans)
+    dt = (time.time() - t0) / n_timed
+    fps = 1.0 / dt
+
+    err = float(np.asarray(m["mean_reproj_err"]))
+    print(
+        json.dumps(
+            {
+                "metric": "SLAM fps (track+match+BA) 640x480, 1k-landmark map, 1 chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+                "detail": {
+                    "step_ms": round(dt * 1000, 2),
+                    "compile_s": round(compile_s, 1),
+                    "mean_reproj_err_px": round(err, 3),
+                    "n_points": int(ps.map.n_points),
+                    "n_obs": int(ps.map.n_obs),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -119,21 +119,32 @@ def track(
     lvls3 = jnp.where(unc > cfg.uncertainty_confident, cfg.levels_unsure,
                       cfg.levels_confident).astype(jnp.int32)
 
-    # 2. FindMatches: try stored views newest-first
+    # 2. FindMatches: try stored views newest-first, then a 6-level retry
+    #    pass per view (matcher.cpp:248). One lax.scan over (view, pass) so
+    #    the tracker body is traced exactly once instead of 8 times.
     order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
-    matched = jnp.zeros((NF,), bool)
-    to_px = jnp.zeros((NF, 2), jnp.float32)
 
-    for rank in range(V):
-        vi = order[rank]
+    start_pred = jnp.where(
+        ((unc < cfg.uncertainty_confident) & pred_ok)[:, None], pred_px, 0.0
+    )
+    use_pred = (unc < cfg.uncertainty_confident) & pred_ok
+
+    def find_step(carry, xs):
+        matched, to_px = carry
+        vi, retry_pass = xs
         view_ok = ms.view_frame[vi] >= 0
         from_pt = ms.feat_px[:, vi]
         has = ms.feat_valid[:, vi]
-        cand = live & ~matched & view_ok & has
-
-        start = jnp.where(
-            ((unc < cfg.uncertainty_confident) & pred_ok)[:, None], pred_px, from_pt
+        # retry pass only re-attempts features whose first pass was at
+        # fewer levels
+        pass_ok = jnp.where(
+            retry_pass == 0,
+            jnp.ones((NF,), bool),
+            lvls3 != cfg.levels_unsure,
         )
+        cand = live & ~matched & view_ok & has & pass_ok
+
+        start = jnp.where(use_pred[:, None], start_pred, from_pt)
         inb = (
             (start[:, 0] >= 0)
             & (start[:, 1] >= 0)
@@ -141,6 +152,9 @@ def track(
             & (start[:, 1] <= cfg.image_height)
         )
         cand = cand & inb
+        lvls = jnp.where(
+            retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
+        ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
 
         view_levels = _view_levels(ms, vi, dims)
 
@@ -150,18 +164,20 @@ def track(
                 cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
             )
 
-        res_px, res_ok = jax.vmap(one)(from_pt, start, lvls3)
-        # retry failures at 6 levels (matcher.cpp:248)
-        retry_px, retry_ok = jax.vmap(one)(
-            from_pt, start, jnp.full((NF,), cfg.levels_unsure, jnp.int32)
-        )
-        need_retry = ~res_ok & (lvls3 != cfg.levels_unsure)
-        got = jnp.where(need_retry, retry_ok, res_ok)
-        got_px = jnp.where(need_retry[:, None], retry_px, res_px)
-
-        newly = cand & got
+        res_px, res_ok = jax.vmap(one)(from_pt, start, lvls)
+        newly = cand & res_ok
         matched = matched | newly
-        to_px = jnp.where(newly[:, None], got_px, to_px)
+        to_px = jnp.where(newly[:, None], res_px, to_px)
+        return (matched, to_px), None
+
+    # per view: pass 0 (uncertainty-scaled levels) then pass 1 (retry at 6)
+    xs_vi = jnp.repeat(order, 2)
+    xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
+    (matched, to_px), _ = jax.lax.scan(
+        find_step,
+        (jnp.zeros((NF,), bool), jnp.zeros((NF, 2), jnp.float32)),
+        (xs_vi, xs_pass),
+    )
 
     # 3. write observations (matcher.cpp:255-257)
     map_state = lm.add_observations(map_state, frame_idx, pt_idx, to_px, matched)

@@ -384,7 +384,7 @@ def solve(
 
     # ---- LM loop ----
     def lm_body(carry):
-        fq, ft, ks, locs, lam, cost, it, done = carry
+        fq, ft, ks, locs, lam, cost, it, rejects, done = carry
         dxi, dt, dk, dp = build_step(fq, ft, ks, locs, lam)
         cq, ct, ck, cl = apply(fq, ft, ks, locs, dxi, dt, dk, dp)
         new_cost = total_cost(cq, ct, ck, cl)
@@ -398,11 +398,15 @@ def solve(
         converged = accept & (
             (cost - new_cost) <= cfg.ftol * jnp.maximum(cost, 1e-20)
         )
+        # stall: repeated rejections mean the trust region has collapsed
+        # (Ceres terminates on min trust-region radius similarly)
+        rejects = jnp.where(accept, 0, rejects + 1)
+        stalled = (rejects >= 5) | (new_lam >= 1e7)
         cost = jnp.where(accept, new_cost, cost)
-        return fq, ft, ks, locs, new_lam, cost, it + 1, done | converged
+        return fq, ft, ks, locs, new_lam, cost, it + 1, rejects, done | converged | stalled
 
     def lm_cond(carry):
-        *_, it, done = carry
+        *_, it, _rej, done = carry
         return (it < cfg.max_iters) & ~done
 
     cost0 = total_cost(frame_quat, frame_trans, cam_k, point_loc)
@@ -414,9 +418,10 @@ def solve(
         jnp.float32(cfg.lm_lambda_init),
         cost0,
         jnp.int32(0),
+        jnp.int32(0),
         ~solvable,  # unsolvable problems skip the loop entirely
     )
-    fq, ft, ks, locs, _, cost, iters, _ = lax.while_loop(lm_cond, lm_body, init)
+    fq, ft, ks, locs, _, cost, iters, _, _ = lax.while_loop(lm_cond, lm_body, init)
 
     return BAResult(
         frame_quat=jnp.where(solvable, fq, frame_quat),

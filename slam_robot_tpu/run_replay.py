@@ -1,0 +1,118 @@
+"""End-to-end replay driver: the reference's main() as a host loop around
+one jitted step (main.cpp:421-664 rebuilt, flags included).
+
+Usage:
+    python -m slam_robot_tpu.run_replay --load DIR        # PNG/npy replay
+    python -m slam_robot_tpu.run_replay --synthetic 60    # rendered world
+    python -m slam_robot_tpu.run_replay --save DIR ...    # record frames
+    ... --dump /tmp/z                                     # gnuplot map dump
+    ... --no-slam                                         # tracking only
+
+Prints one status line per frame (the reference's frame banner + TIMER
+lines) and a JSON summary at exit (cumulative BA iterations + final error,
+main.cpp:654-656).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--load", default="", help="replay frames from directory")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic rendered frames")
+    ap.add_argument("--save", default="", help="record frames to directory")
+    ap.add_argument("--dump", default="", help="write /tmp/z-style map dump")
+    ap.add_argument("--no-slam", action="store_true", help="tracking only")
+    ap.add_argument("--platform", default="", help="force jax platform (cpu)")
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_robot_tpu.config import SlamConfig
+    from slam_robot_tpu.io import sources
+    from slam_robot_tpu.io.recorder import Recorder
+    from slam_robot_tpu.models import pipeline
+    from slam_robot_tpu.utils import dump as dump_util
+
+    cfg = SlamConfig(image_width=args.width, image_height=args.height)
+
+    if args.load:
+        src = sources.FileSource(args.load)
+    elif args.synthetic:
+        src = sources.SyntheticSource(cfg, n_frames=args.synthetic)
+    else:
+        print("need --load DIR or --synthetic N", file=sys.stderr)
+        return 1
+    if not src.init():
+        print(f"source init failed", file=sys.stderr)
+        return 1
+
+    rec = Recorder(args.save) if args.save else None
+
+    ps = pipeline.init(cfg)
+    run_slam = not args.no_slam
+
+    t_start = time.time()
+    n_done = 0
+    for cam, fid, img in sources.prefetch(src):
+        if args.max_frames and fid >= args.max_frames:
+            break
+        t0 = time.time()
+        if rec is not None:
+            rec.save(fid, img)
+        ps, metrics = pipeline.step(ps, jnp.asarray(img), cfg, run_slam)
+        metrics = {k: np.asarray(v).item() for k, v in metrics.items()}
+        dt = time.time() - t0
+        n_done += 1
+        if not args.quiet:
+            print(
+                f"frame {fid:4d} cam {cam}: matches {metrics['n_matches']:3d} "
+                f"{'KF' if metrics['is_keyframe'] else '  '} "
+                f"added {metrics['n_added']:3d} pts {metrics['n_points']:4d} "
+                f"err {metrics['mean_reproj_err']:6.3f} "
+                f"ba {metrics['fast_iters']}+{metrics['slow_iters']} "
+                f"drift {metrics['normalize_err_drift']:.4f} "
+                f"TIMER: {dt:.3f}s"
+            )
+        if run_slam and not metrics["slow_ok"]:
+            print("slow BA window failed; stopping (main.cpp:591-594)")
+            break
+
+    wall = time.time() - t_start
+    if rec is not None:
+        rec.close()
+    if args.dump:
+        dump_util.dump_map(ps.map, args.dump)
+
+    summary = {
+        "frames": n_done,
+        "wall_s": round(wall, 3),
+        "fps": round(n_done / max(wall, 1e-9), 2),
+        "iterations": int(ps.total_ba_iters),
+        "error": float(ps.last_error),
+        "n_points": int(ps.map.n_points),
+        "n_obs": int(ps.map.n_obs),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

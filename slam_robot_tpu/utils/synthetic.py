@@ -29,8 +29,16 @@ class Scene(NamedTuple):
 
 
 def reference_intrinsics(cfg: SlamConfig) -> np.ndarray:
-    """Zero-distortion k with the reference's negative fy (main.cpp:474-482)."""
-    return np.array([0, 0, 0, cfg.focal, -cfg.focal, cfg.cx, cfg.cy], np.float32)
+    """Zero-distortion k with the reference's negative fy (main.cpp:474-482).
+
+    cfg.focal/cx/cy describe the reference's 640x480 rig; when cfg uses a
+    different resolution the camera scales with it (same field of view)."""
+    s = cfg.image_width / 640.0
+    return np.array(
+        [0, 0, 0, cfg.focal * s, -cfg.focal * s,
+         cfg.image_width / 2.0, cfg.image_height / 2.0],
+        np.float32,
+    )
 
 
 def make_trajectory(n_frames: int, cfg: SlamConfig, yaw_rate: float = 0.01,

@@ -1,0 +1,80 @@
+import jax.numpy as jnp
+import numpy as np
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.io import sources
+from slam_robot_tpu.models import localmap as lm
+from slam_robot_tpu.models import pipeline
+
+CFG = SlamConfig(
+    image_width=160,
+    image_height=120,
+    pyramid_depth=4,
+    levels_unsure=4,
+    max_features=96,
+    max_corners=48,
+    min_matches=12,
+    max_frames=32,
+    max_points=384,
+    max_obs=8192,
+    max_obs_per_point=16,
+    ba_max_iters=20,
+)
+
+
+def scaled_intrinsics(cfg):
+    # quarter-resolution version of the reference camera
+    k = np.array([0, 0, 0, cfg.focal / 4, -cfg.focal / 4, cfg.image_width / 2,
+                  cfg.image_height / 2], np.float32)
+    return [k, k]
+
+
+def run_frames(n):
+    src = sources.SyntheticSource(CFG, n_frames=n, n_points=400, step_mm=10.0)
+    ps = pipeline.init(CFG, scaled_intrinsics(CFG))
+    history = []
+    for cam, fid, img in sources.prefetch(src):
+        ps, m = pipeline.step(ps, jnp.asarray(img), CFG)
+        history.append({k: np.asarray(v).item() for k, v in m.items()})
+    return ps, history, src
+
+
+def test_full_loop_runs_and_converges():
+    ps, hist, src = run_frames(10)
+    assert len(hist) == 10
+    # frame 0 keyframes and seeds
+    assert hist[0]["is_keyframe"] and hist[0]["n_added"] > 5
+    # later frames track
+    assert all(h["n_matches"] > 5 for h in hist[1:])
+    # BA keeps reprojection error small
+    errs = [h["mean_reproj_err"] for h in hist[2:]]
+    assert np.median(errs) < 1.0
+    # normalize preserved reprojection error every frame (the ref CHECKs
+    # this at main.cpp:602-605)
+    assert all(h["normalize_err_drift"] < 0.1 for h in hist[1:])
+    # BA runs within its iteration budget (ftol 1e-7 usually consumes the
+    # whole budget on tiny windows, exactly like Ceres with 1000 iters)
+    assert max(h["fast_iters"] for h in hist[2:]) <= CFG.ba_max_iters
+
+
+def test_trajectory_geometry():
+    ps, hist, src = run_frames(10)
+    m = ps.map
+    n = int(m.n_frames)
+    t = np.asarray(m.frame_trans[:n])
+    # normalize anchors frame 0 at the origin
+    np.testing.assert_allclose(t[0], np.zeros(3), atol=1.0)
+    # the stereo pair separation should be near the 150mm baseline prior
+    d01 = np.linalg.norm(t[1] - t[0])
+    assert 75.0 < d01 < 300.0, f"baseline {d01}"
+    # the rig advances in +z over pairs
+    assert t[-1][2] > t[0][2]
+
+
+def test_tracking_only_mode():
+    src = sources.SyntheticSource(CFG, n_frames=4, n_points=300)
+    ps = pipeline.init(CFG, scaled_intrinsics(CFG))
+    for cam, fid, img in sources.prefetch(src):
+        ps, m = pipeline.step(ps, jnp.asarray(img), CFG, run_slam=False)
+    assert int(ps.map.n_frames) == 4
+    assert int(ps.total_ba_iters) == 0

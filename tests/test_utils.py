@@ -1,0 +1,119 @@
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from slam_robot_tpu.config import SlamConfig
+from slam_robot_tpu.io import sources
+from slam_robot_tpu.io.recorder import Recorder
+from slam_robot_tpu.models import localmap as lm
+from slam_robot_tpu.utils import checkpoint, debug_draw, dump, metrics, synthetic
+from slam_robot_tpu.utils.histogram import Histogram
+from slam_robot_tpu.utils.timer import ScopedTimer
+
+CFG = SlamConfig(max_frames=16, max_points=64, max_obs=1024, max_obs_per_point=16)
+
+
+def test_histogram_reference_behavior():
+    # histogram_test.cpp semantics: clamped bucket counting with scale
+    h = Histogram(10)
+    for v in (0.5, 1.5, 1.7, 9.0, 99.0, -5.0):
+        h.add(v)
+    assert h.bucket(0) == 2  # 0.5 and clamped -5.0
+    assert h.bucket(1) == 2
+    assert h.bucket(9) == 2  # 9.0 and clamped 99.0
+    h2 = Histogram(10, 10.0)
+    h2.add(35.0)
+    assert h2.bucket(3) == 1
+    assert "3" in h2.str()
+
+
+def test_scoped_timer():
+    lines = []
+    with ScopedTimer("unit", sink=lines.append):
+        pass
+    assert lines and lines[0].startswith("TIMER: unit:")
+
+
+def test_metrics_log(tmp_path):
+    log = metrics.MetricsLog()
+    for i in range(5):
+        log.append({"n_matches": jnp.int32(i), "mean_reproj_err": jnp.float32(0.1 * i),
+                    "is_keyframe": jnp.bool_(i == 0), "fast_iters": jnp.int32(3),
+                    "slow_iters": jnp.int32(0)})
+    s = log.summary()
+    assert s["frames"] == 5 and s["keyframes"] == 1
+    assert abs(s["n_matches"]["mean"] - 2.0) < 1e-6
+    p = tmp_path / "m.jsonl"
+    log.to_jsonl(str(p))
+    rows = [json.loads(l) for l in open(p)]
+    assert len(rows) == 5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=8)
+    path = str(tmp_path / "ck")
+    checkpoint.save(scene.state, path)
+    restored = checkpoint.restore(lm.empty(CFG), path)
+    np.testing.assert_array_equal(
+        np.asarray(restored.frame_trans), np.asarray(scene.state.frame_trans)
+    )
+    assert int(restored.n_obs) == int(scene.state.n_obs)
+
+
+def test_dump_map_format(tmp_path):
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=8)
+    path = str(tmp_path / "z")
+    dump.dump_map(scene.state, path)
+    text = open(path).read()
+    blocks = text.split("\n\n")
+    assert len(blocks) >= 3  # even frames, odd frames, points
+    first = blocks[0].strip().splitlines()
+    assert len(first) == 2  # frames 0, 2
+    assert len(first[0].split()) == 3
+
+
+def test_ate_helper():
+    a = np.zeros((5, 3))
+    b = np.ones((5, 3))
+    assert abs(dump.ate(a, b) - np.sqrt(3)) < 1e-9
+    assert dump.ate(a, a) == 0.0
+
+
+def test_debug_draw_colors():
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
+    img = np.full((480, 640), 0.5, np.float32)
+    out = debug_draw.draw_debug(scene.state, img)
+    assert out.shape == (480, 640, 3)
+    # tracked points draw red crosses
+    assert (out == np.array(debug_draw.RED)).all(axis=-1).any()
+
+
+def test_recorder_file_roundtrip(tmp_path):
+    rec = Recorder(str(tmp_path), fmt="npy")
+    img = np.random.default_rng(0).uniform(size=(24, 32)).astype(np.float32)
+    rec.save(0, img)
+    rec.close()
+    src = sources.FileSource(str(tmp_path))
+    assert src.init()
+    out = src.get(0, 0)
+    np.testing.assert_allclose(out, img)
+    assert src.get(0, 99) is None
+
+
+def test_recorder_png_roundtrip(tmp_path):
+    rec = Recorder(str(tmp_path), fmt="png")
+    img = np.random.default_rng(0).uniform(size=(24, 32)).astype(np.float32)
+    rec.save(3, img)
+    rec.close()
+    src = sources.FileSource(str(tmp_path))
+    out = src.get(0, 3)
+    assert out is not None and out.shape == (24, 32)
+    np.testing.assert_allclose(out, img, atol=1 / 255 + 1e-6)
+
+
+def test_stop_cli():
+    from slam_robot_tpu import stop
+
+    assert stop.main() == 0
