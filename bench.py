@@ -19,6 +19,12 @@ import time
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the pipeline module is large and the TPU
+    # remote-compile path is slow; warm runs skip it entirely
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -77,6 +77,8 @@ class SlamConfig:
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
     cheirality_eps: float = 0.001      # project.h:27
+    window_obs: int = 4096             # obs-table tail slice for window BA
+                                       # (covers >= 20 frames x 120 obs)
 
     # ---- planner (planner.cpp) ----
     turning_radius: float = 2.0        # planner.cpp:24
@@ -88,7 +90,8 @@ class SlamConfig:
     max_points: int = 1024
     max_obs: int = 16384
     max_obs_per_point: int = 64
-    max_features: int = 512            # live matcher feature slots
+    max_features: int = 256            # live matcher feature slots (the ref
+                                       # tops out ~120 corners + carryover)
 
     # ---- numerics ----
     dtype: str = "float32"

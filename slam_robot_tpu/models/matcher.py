@@ -38,43 +38,35 @@ from slam_robot_tpu.ops import patch as patch_ops
 from slam_robot_tpu.ops import projection as proj
 from slam_robot_tpu.ops import pyramid as pyr
 from slam_robot_tpu.ops import tracker
-from slam_robot_tpu.ops.pyramid import PAD, PyramidLevel
-
-
-def level_dims(height: int, width: int, depth: int) -> tuple[tuple[int, int], ...]:
-    dims = [(height, width)]
-    for _ in range(1, depth):
-        h, w = dims[-1]
-        dims.append(((h + 1) // 2, (w + 1) // 2))
-    return tuple(dims)
+from slam_robot_tpu.ops.pyramid import PAD, FlatPyramid, level_dims
 
 
 class MatcherState(NamedTuple):
     view_frame: jnp.ndarray   # [V] int32 map frame index, -1 = empty slot
-    view_pyr: tuple           # per level l: [V, H_l + 2*PAD, W_l + 2*PAD] f32
+    view_pyr: jnp.ndarray     # [V, L, H0+2*PAD, W0+2*PAD] flat pyramids
     feat_point: jnp.ndarray   # [NF] int32 map point index, -1 = dead
     feat_px: jnp.ndarray      # [NF, V, 2] stored match per view
     feat_valid: jnp.ndarray   # [NF, V] bool
 
 
 def init(cfg: SlamConfig) -> MatcherState:
-    V, NF = cfg.max_views, cfg.max_features
-    dims = level_dims(cfg.image_height, cfg.image_width, cfg.pyramid_depth)
+    V, NF, L = cfg.max_views, cfg.max_features, cfg.pyramid_depth
+    h0, w0 = cfg.image_height, cfg.image_width
     return MatcherState(
         view_frame=jnp.full((V,), -1, jnp.int32),
-        view_pyr=tuple(
-            jnp.zeros((V, h + 2 * PAD, w + 2 * PAD), jnp.float32) for h, w in dims
-        ),
+        view_pyr=jnp.zeros((V, L, h0 + 2 * PAD, w0 + 2 * PAD), jnp.float32),
         feat_point=jnp.full((NF,), -1, jnp.int32),
         feat_px=jnp.zeros((NF, V, 2), jnp.float32),
         feat_valid=jnp.zeros((NF, V), bool),
     )
 
 
-def _view_levels(ms: MatcherState, vi, dims) -> tuple[PyramidLevel, ...]:
-    return tuple(
-        PyramidLevel(padded=ms.view_pyr[l][vi], height=dims[l][0], width=dims[l][1])
-        for l in range(len(ms.view_pyr))
+def _view_pyramid(ms: MatcherState, vi, cfg: SlamConfig) -> FlatPyramid:
+    dims = level_dims(cfg.image_height, cfg.image_width, cfg.pyramid_depth)
+    return FlatPyramid(
+        data=ms.view_pyr[vi],
+        heights=jnp.asarray([d[0] for d in dims], jnp.int32),
+        widths=jnp.asarray([d[1] for d in dims], jnp.int32),
     )
 
 
@@ -91,7 +83,6 @@ def track(
 
     Returns (matcher_state, map_state, metrics-dict).
     """
-    dims = level_dims(cfg.image_height, cfg.image_width, cfg.pyramid_depth)
     NF, V = cfg.max_features, cfg.max_views
     weight = patch_ops.radial_mask(cfg.patch_size, cfg.mask_bias)
 
@@ -156,7 +147,7 @@ def track(
             retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
         ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
 
-        view_levels = _view_levels(ms, vi, dims)
+        view_levels = _view_pyramid(ms, vi, cfg)
 
         def one(fp, st, lv):
             return tracker.track_bidirectional(
@@ -191,10 +182,7 @@ def track(
         # ring slot: empty (-1) first, else oldest
         slot = jnp.argmin(ms.view_frame)
         view_frame = ms.view_frame.at[slot].set(jnp.int32(frame_idx))
-        view_pyr = tuple(
-            ms.view_pyr[l].at[slot].set(new_pyr[l].padded)
-            for l in range(len(ms.view_pyr))
-        )
+        view_pyr = ms.view_pyr.at[slot].set(new_pyr.data)
         feat_valid = ms.feat_valid.at[:, slot].set(matched)
         feat_px = ms.feat_px.at[:, slot].set(to_px)
 
@@ -203,7 +191,7 @@ def track(
         )
 
         # detect new corners on the (blurred) level-0 image
-        grey = new_pyr[0].padded[PAD:-PAD, PAD:-PAD]
+        grey = new_pyr.data[0, PAD:-PAD, PAD:-PAD]
         cpts, cval = corner_ops.detect(
             grey, cfg.max_corners, cfg.corner_quality, cfg.corner_min_dist
         )

@@ -16,6 +16,7 @@ result for the caller's metrics instead of hidden mutable state.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from slam_robot_tpu.config import SlamConfig
@@ -69,7 +70,20 @@ def _obs_ok(state: lm.MapState, present):
     )
 
 
-def _run(state: lm.MapState, free, present, bcfg: ba.BAConfig):
+def _run(state: lm.MapState, free, present, bcfg: ba.BAConfig,
+         window_obs: int | None = None):
+    obs_frame, obs_point, obs_px = state.obs_frame, state.obs_point, state.obs_px
+    obs_ok = _obs_ok(state, present)
+    if window_obs is not None and window_obs < state.obs_frame.shape[0]:
+        # The obs table is append-ordered by frame, so every observation of
+        # the presented (= newest) frames lives in the table's tail. Slice a
+        # fixed-size tail window: same solution, a fraction of the per-LM-
+        # iteration residual/Jacobian work.
+        start = jnp.maximum(state.n_obs - window_obs, 0)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, window_obs, 0)
+        obs_frame, obs_point, obs_px, obs_ok = (
+            sl(obs_frame), sl(obs_point), sl(obs_px), sl(obs_ok),
+        )
     res = ba.solve(
         state.frame_quat,
         state.frame_trans,
@@ -77,10 +91,10 @@ def _run(state: lm.MapState, free, present, bcfg: ba.BAConfig):
         state.cam_k,
         state.point_loc,
         state.point_uncertainty,
-        state.obs_frame,
-        state.obs_point,
-        state.obs_px,
-        _obs_ok(state, present),
+        obs_frame,
+        obs_point,
+        obs_px,
+        obs_ok,
         present,
         free,
         bcfg,
@@ -101,7 +115,8 @@ def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
     Returns (state, BAResult)."""
     cfg = cfg or SlamConfig()
     free, present = window_masks(state, num_to_solve, num_to_present)
-    return _run(state, free, present, _ba_cfg(cfg, range_))
+    return _run(state, free, present, _ba_cfg(cfg, range_),
+                window_obs=cfg.window_obs)
 
 
 def solve_all_frames(state: lm.MapState, range_: float = 2.0,

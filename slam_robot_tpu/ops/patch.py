@@ -1,11 +1,12 @@
 """Sub-pixel patch extraction and photometric-invariant scoring.
 
 Rebuilds HessianTracker's GetPatch / ScorePatchMatch / radial weight mask
-(hessian.h:11-30, 54-93, 129-141) on edge-padded pyramid levels:
+(hessian.h:11-30, 54-93, 129-141) on flat edge-padded pyramids:
 
 - extraction is one dynamic-slice of (S+1)x(S+1) plus a bilinear mix — no
-  per-pixel gathers, so it vectorizes over features and lowers to cheap
-  VMEM reads on TPU
+  per-pixel gathers; the level image may be any (possibly traced) slice of
+  a FlatPyramid, with its true width/height passed as (possibly traced)
+  scalars
 - getRectSubPix's replicate-border behavior comes from the pyramid's edge
   padding; a boolean validity mask marks pixels whose bilinear support fell
   outside the true image (the reference zeroes such pixels via its
@@ -25,11 +26,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from slam_robot_tpu.ops.pyramid import PAD, PyramidLevel
+from slam_robot_tpu.ops.pyramid import PAD
 
 
 class Patch(NamedTuple):
-    data: jnp.ndarray    # [S, S] f32
+    data: jnp.ndarray    # [S, S] f32  (leading axes allowed for stacks)
     valid: jnp.ndarray   # [S, S] bool
     mean: jnp.ndarray    # scalar: sum/S^2 (over all pixels, like the ref)
     sumsq: jnp.ndarray   # scalar: sum of squares / S^2
@@ -56,12 +57,13 @@ def radial_mask(size: int = 13, bias: float = 15.0) -> jnp.ndarray:
     return jnp.asarray(_radial_mask_np(size, float(bias)))
 
 
-def extract(level: PyramidLevel, pt, size: int = 13) -> Patch:
+def extract(img, width, height, pt, size: int = 13) -> Patch:
     """Patch of `size`^2 centered at sub-pixel pt=(x,y) in level coordinates.
 
-    Equivalent to getRectSubPix with replicate border (hessian.h:77-83).
-    pt follows the pixel-center convention: pt=(x,y) integer means the patch
-    is centered exactly on pixel (x,y).
+    ``img`` is an edge-padded level image [Hp, Wp]; ``width``/``height`` are
+    its true (unpadded) extents — static or traced. Equivalent to
+    getRectSubPix with replicate border (hessian.h:77-83). pt follows the
+    pixel-center convention.
     """
     half = (size - 1) // 2
     x, y = pt[0], pt[1]
@@ -71,12 +73,11 @@ def extract(level: PyramidLevel, pt, size: int = 13) -> Patch:
     fy = y - y0.astype(y.dtype)
 
     # (size+1)^2 window starting at the patch's top-left support pixel.
-    # Clamp so the slice stays inside the padded array even for wildly
-    # out-of-bounds points (validity handles semantics).
-    Hp, Wp = level.padded.shape
-    sy = jnp.clip(y0 - half + PAD, 0, Hp - (size + 1))
-    sx = jnp.clip(x0 - half + PAD, 0, Wp - (size + 1))
-    win = lax.dynamic_slice(level.padded, (sy, sx), (size + 1, size + 1))
+    # Clamp inside the *level's* padded extent so replicate-edge semantics
+    # hold even for wildly out-of-bounds points (validity handles meaning).
+    sy = jnp.clip(y0 - half + PAD, 0, height + 2 * PAD - (size + 1))
+    sx = jnp.clip(x0 - half + PAD, 0, width + 2 * PAD - (size + 1))
+    win = lax.dynamic_slice(img, (sy, sx), (size + 1, size + 1))
 
     p = (
         (1 - fy) * (1 - fx) * win[:size, :size]
@@ -86,10 +87,12 @@ def extract(level: PyramidLevel, pt, size: int = 13) -> Patch:
     )
 
     # validity: bilinear support inside the true image
+    w = jnp.asarray(width, jnp.float32)
+    h = jnp.asarray(height, jnp.float32)
     gx = x0.astype(jnp.float32) + jnp.arange(size, dtype=jnp.float32) - half
     gy = y0.astype(jnp.float32) + jnp.arange(size, dtype=jnp.float32) - half
-    vx = (gx >= 0) & (gx + 1 <= level.width - 1 + 1)
-    vy = (gy >= 0) & (gy + 1 <= level.height - 1 + 1)
+    vx = (gx >= 0) & (gx + 1 <= w)
+    vy = (gy >= 0) & (gy + 1 <= h)
     valid = vy[:, None] & vx[None, :]
 
     n = size * size

@@ -5,12 +5,15 @@ level 0; each further level is pyrDown (5x5 [1,4,6,4,1]/16 binomial filter +
 2x decimation to size (n+1)/2) followed by GaussianBlur 5x5 sigma=0.8.
 
 TPU-native choices:
-- images are [H, W] f32 in HBM; convolutions are separable
-  ``lax.conv_general_dilated`` calls XLA fuses well
-- every level is stored *edge-padded* by ``PAD`` pixels so the tracker's
-  sub-pixel patch extraction is a pure dynamic-slice + bilinear mix with
-  getRectSubPix's replicate-border semantics and no scatter/clamp logic in
-  the hot loop
+- convolutions are separable ``lax.conv_general_dilated`` calls XLA fuses
+- the pyramid is stored FLAT: one [L, H0+2*PAD, W0+2*PAD] array with level
+  l's (edge-padded) image in the top-left corner and its true size in
+  ``heights/widths``. Uniform level shapes mean the coarse-to-fine tracker
+  loop is a single traced ``lax.fori_loop`` body with a dynamic level
+  index — 6x less tracing/compiling than unrolled per-level shapes, and
+  the natural layout for a fused Pallas kernel.
+- edge padding by ``PAD`` gives getRectSubPix's replicate-border semantics
+  to a plain dynamic-slice in the patch extractor.
 """
 
 from __future__ import annotations
@@ -28,10 +31,26 @@ from jax import lax
 PAD = 8
 
 
-class PyramidLevel(NamedTuple):
-    padded: jnp.ndarray   # [H + 2*PAD, W + 2*PAD] f32, edge-replicated
-    height: int           # static original height
-    width: int            # static original width
+class FlatPyramid(NamedTuple):
+    data: jnp.ndarray     # [L, H0+2*PAD, W0+2*PAD] f32
+    heights: jnp.ndarray  # [L] int32 true level heights
+    widths: jnp.ndarray   # [L] int32 true level widths
+
+    @property
+    def depth(self) -> int:
+        return self.data.shape[0]
+
+    def level(self, i):
+        """(image2d, width, height) for a (possibly traced) level index."""
+        return self.data[i], self.widths[i], self.heights[i]
+
+
+def level_dims(height: int, width: int, depth: int) -> tuple[tuple[int, int], ...]:
+    dims = [(height, width)]
+    for _ in range(1, depth):
+        h, w = dims[-1]
+        dims.append(((h + 1) // 2, (w + 1) // 2))
+    return tuple(dims)
 
 
 def to_grey(img) -> jnp.ndarray:
@@ -86,19 +105,24 @@ def _edge_pad(img, pad: int = PAD):
 
 @functools.partial(jax.jit, static_argnames=("depth", "sigma0", "sigma_down"))
 def build_pyramid(img, depth: int = 6, sigma0: float = 1.1, sigma_down: float = 0.8
-                  ) -> tuple[PyramidLevel, ...]:
-    """Full MakePyramid: returns ``depth`` edge-padded levels.
-
-    Level sizes are static functions of the input shape, so the whole
-    pipeline compiles once per camera resolution.
-    """
+                  ) -> FlatPyramid:
+    """Full MakePyramid as a FlatPyramid. Level sizes are static functions
+    of the input shape, so the pipeline compiles once per resolution."""
     g = to_grey(img)
     g = blur(g, sigma0)
     levels = [g]
     for _ in range(1, depth):
         g = blur(pyr_down(g), sigma_down)
         levels.append(g)
-    return tuple(
-        PyramidLevel(padded=_edge_pad(l), height=l.shape[0], width=l.shape[1])
-        for l in levels
+
+    h0, w0 = levels[0].shape
+    dims = level_dims(h0, w0, depth)
+    flat = jnp.zeros((depth, h0 + 2 * PAD, w0 + 2 * PAD), jnp.float32)
+    for l, img_l in enumerate(levels):
+        hl, wl = dims[l]
+        flat = flat.at[l, : hl + 2 * PAD, : wl + 2 * PAD].set(_edge_pad(img_l))
+    return FlatPyramid(
+        data=flat,
+        heights=jnp.asarray([d[0] for d in dims], jnp.int32),
+        widths=jnp.asarray([d[1] for d in dims], jnp.int32),
     )

@@ -5,8 +5,8 @@ score by 6 finite-difference score evaluations per Newton step
 (BruteHessian, hessian.h:147-172) and even leaves itself the TODO to use the
 interpolation structure directly (hessian.h:143-146). Here the score is a
 closed differentiable function of the sub-pixel position (bilinear sampling
-is piecewise-polynomial), so one ``jax.grad`` / ``jax.hessian`` pair gives
-the exact in-cell derivatives — fewer FLOPs, no step-size h.
+is piecewise-polynomial), so one ``jax.grad`` / forward-over-reverse Hessian
+gives the exact in-cell derivatives — fewer FLOPs, no step-size h.
 
 Semantics preserved from Track/TrackFeature (hessian.h:185-264):
 - Newton step d = -H^-1 g, clamped to unit length then per-component to
@@ -20,12 +20,13 @@ Semantics preserved from Track/TrackFeature (hessian.h:185-264):
 - forward/backward verification with a 0.3px round-trip gate happens in the
   matcher (matcher.cpp:173-206) via ``track_bidirectional``
 
-All functions are single-feature; the matcher vmaps them over feature slots.
+TPU shape: pyramids are FlatPyramid ([L, Hp, Wp] with per-level true
+sizes), so the level cascade is one ``lax.fori_loop`` whose body is traced
+once — the level index, image, and patch are all dynamic. All functions
+are single-feature; the matcher vmaps them over feature slots.
 """
 
 from __future__ import annotations
-
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +34,7 @@ from jax import lax
 
 from slam_robot_tpu.ops import patch as patch_ops
 from slam_robot_tpu.ops.patch import Patch
-from slam_robot_tpu.ops.pyramid import PyramidLevel
+from slam_robot_tpu.ops.pyramid import FlatPyramid
 
 OK = 0
 SMALL_DET = 1       # kept for API parity (hessian.h:48-52); never raised
@@ -42,47 +43,50 @@ OUT_OF_BOUNDS = 2
 _MARGIN = 0.01  # hessian.h:196
 
 
-def get_patch_stack(pyr: Sequence[PyramidLevel], pt, levels: int | None = None,
-                    size: int = 13) -> Patch:
+def get_patch_stack(pyr: FlatPyramid, pt, size: int = 13) -> Patch:
     """GetPatches (hessian.h:175-183): patch at pt / 2^i per level, stacked
-    along a leading axis. Always extracts all len(pyr) levels; callers mask
-    with a per-feature level count."""
-    levels = len(pyr) if levels is None else levels
-    ps = [patch_ops.extract(pyr[i], pt / (2.0**i), size) for i in range(levels)]
-    return Patch(
-        data=jnp.stack([p.data for p in ps]),
-        valid=jnp.stack([p.valid for p in ps]),
-        mean=jnp.stack([p.mean for p in ps]),
-        sumsq=jnp.stack([p.sumsq for p in ps]),
-    )
+    along a leading axis. Extracts all levels; callers mask with a
+    per-feature level count."""
+    levels = jnp.arange(pyr.depth)
+
+    def one(i):
+        img, w, h = pyr.level(i)
+        return patch_ops.extract(img, w, h, pt / (2.0 ** i.astype(jnp.float32)), size)
+
+    return jax.vmap(one)(levels)
 
 
-def _level_patch(stack: Patch, i: int) -> Patch:
+def _level_patch(stack: Patch, i) -> Patch:
     return Patch(stack.data[i], stack.valid[i], stack.mean[i], stack.sumsq[i])
 
 
-def track_level(level: PyramidLevel, ref_patch: Patch, pt, weight,
-                threshold: float = 0.001, max_iters: int = 10):
-    """Newton iterations against one pyramid level (hessian.h:185-241).
-
-    Returns (new_pt, status).
-    """
+def track_level(img, width, height, ref_patch: Patch, pt, weight,
+                threshold: float = 0.001, max_iters: int = 10,
+                size: int = 13):
+    """Newton iterations against one (possibly dynamically indexed) pyramid
+    level (hessian.h:185-241). Returns (new_pt, status)."""
 
     def score_at(xy):
-        return patch_ops.score(ref_patch, patch_ops.extract(level, xy), weight)
+        return patch_ops.score(
+            ref_patch, patch_ops.extract(img, width, height, xy, size), weight
+        )
 
     grad_fn = jax.grad(score_at)
     hess_fn = jax.jacfwd(jax.grad(score_at))
+    wf = jnp.asarray(width, jnp.float32)
+    hf = jnp.asarray(height, jnp.float32)
+
+    def oob_at(xy):
+        return (
+            (xy[0] < _MARGIN)
+            | (xy[1] < _MARGIN)
+            | (xy[0] + _MARGIN > wf)
+            | (xy[1] + _MARGIN > hf)
+        )
 
     def body(carry):
         xy, status, it, done = carry
-
-        oob = (
-            (xy[0] < _MARGIN)
-            | (xy[1] < _MARGIN)
-            | (xy[0] + _MARGIN > level.width)
-            | (xy[1] + _MARGIN > level.height)
-        )
+        oob = oob_at(xy)
 
         g = grad_fn(xy)
         h = hess_fn(xy)
@@ -117,49 +121,44 @@ def track_level(level: PyramidLevel, ref_patch: Patch, pt, weight,
     xy, status, _, _ = lax.while_loop(
         cond, body, (pt, jnp.int32(OK), jnp.int32(0), jnp.bool_(False))
     )
-    # final bounds check mirrors the loop-top test for the last update
-    oob = (
-        (xy[0] < _MARGIN)
-        | (xy[1] < _MARGIN)
-        | (xy[0] + _MARGIN > level.width)
-        | (xy[1] + _MARGIN > level.height)
-    )
-    status = jnp.where(oob, OUT_OF_BOUNDS, status)
+    status = jnp.where(oob_at(xy), OUT_OF_BOUNDS, status)
     return xy, status
 
 
-def track_feature(pyr: Sequence[PyramidLevel], patches: Patch, pt, lvls,
+def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
                   weight, threshold: float = 0.001, max_iters: int = 10):
     """Coarse-to-fine TrackFeature (hessian.h:243-264) with a *dynamic*
     per-feature level count ``lvls`` (the matcher uses 3 or 6 by point
-    uncertainty, matcher.cpp:227-229). The loop over pyramid levels is
-    static (they have different shapes); levels coarser than lvls-1 are
-    skipped by masking.
+    uncertainty, matcher.cpp:227-229). One fori_loop over levels; levels
+    coarser than lvls-1 are skipped by masking.
 
     Returns (new_pt, ok: bool).
     """
-    n_levels = len(pyr)
+    n_levels = pyr.depth
     lvls = jnp.asarray(lvls, jnp.int32)
     scale0 = (2.0 ** (lvls - 1)).astype(jnp.float32)
-    p = jnp.asarray(pt, jnp.float32) / scale0
-    status = jnp.int32(OK)
+    p0 = jnp.asarray(pt, jnp.float32) / scale0
 
-    for i in range(n_levels - 1, -1, -1):
+    def body(k, carry):
+        p, status = carry
+        i = n_levels - 1 - k
         active = i <= lvls - 1
+        img, w, h = pyr.level(i)
         new_p, st = track_level(
-            pyr[i], _level_patch(patches, i), p, weight, threshold, max_iters
+            img, w, h, _level_patch(patches, i), p, weight, threshold, max_iters
         )
         failed = status != OK
-        p = jnp.where(active & ~failed, new_p, p)
-        status = jnp.where(active & ~failed, st, status)
-        if i > 0:
-            p = jnp.where(active, p * 2.0, p)
+        take = active & ~failed
+        p = jnp.where(take, new_p, p)
+        status = jnp.where(take, st, status)
+        p = jnp.where(active & (i > 0), p * 2.0, p)
+        return (p, status)
 
+    p, status = lax.fori_loop(0, n_levels, body, (p0, jnp.int32(OK)))
     return p, status == OK
 
 
-def track_bidirectional(pyr_from: Sequence[PyramidLevel],
-                        pyr_to: Sequence[PyramidLevel],
+def track_bidirectional(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                         from_pt, init_to_pt, lvls, weight,
                         threshold: float = 0.001, max_iters: int = 10,
                         roundtrip_px: float = 0.3,

@@ -42,6 +42,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
