@@ -39,7 +39,8 @@ def camera_pose(vstate: vehicle.VehicleState):
     t = jnp.array([1000.0, 0.0, 0.0]) * vstate.pos[0] + jnp.array(
         [0.0, 0.0, 1000.0]
     ) * vstate.pos[1]
-    yaw = jnp.pi / 2 - vstate.heading
+    # camera forward (= R^-1 e_z) equals [cos h, 0, sin h] iff yaw = h - pi/2
+    yaw = vstate.heading - jnp.pi / 2
     q = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw)
     return q, t
 

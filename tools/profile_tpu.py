@@ -10,7 +10,11 @@ bench.py for the headline number.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, n=10, warmup=2, **kw):
