@@ -68,6 +68,9 @@ class SlamConfig:
     slow_first_n: int = 10
     ba_range: float = 2.0              # CauchyLoss scale (main.cpp:582,593)
     ba_max_iters: int = 50             # ref allows 1000 (slam.cpp:493); GN needs far fewer
+    ba_iters_fast: int = 12            # per-frame window (2,5): warm-started
+    ba_iters_slow: int = 25            # periodic window (10,20)
+    window_obs_fast: int = 1024        # obs tail slice for the fast window
     ba_ftol: float = 1e-7              # slam.cpp:494
     ba_ftol_fine: float = 1e-9         # slam.cpp:498
     frame_dist_weight: float = 0.1     # FrameDistance residual (slam.cpp:100)

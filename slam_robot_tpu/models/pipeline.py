@@ -89,7 +89,8 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     if run_slam:
         def do_slam(m):
             m, res_fast = slam.solve_frames(
-                m, cfg.solve_fast[0], cfg.solve_fast[1], cfg.ba_range, cfg
+                m, cfg.solve_fast[0], cfg.solve_fast[1], cfg.ba_range, cfg,
+                max_iters=cfg.ba_iters_fast, window_obs=cfg.window_obs_fast,
             )
             m, _ = lm.reproject(m, cfg.cheirality_eps)
 
@@ -106,7 +107,8 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
 
             def do_slow(m):
                 m, res = slam.solve_frames(
-                    m, cfg.solve_slow[0], cfg.solve_slow[1], cfg.ba_range, cfg
+                    m, cfg.solve_slow[0], cfg.solve_slow[1], cfg.ba_range, cfg,
+                    max_iters=cfg.ba_iters_slow,
                 )
                 m, _ = lm.reproject(m, cfg.cheirality_eps)
                 m, _ok = lm.clean(m, cfg.error_threshold, cfg)

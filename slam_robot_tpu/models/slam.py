@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from slam_robot_tpu.config import SlamConfig
 from slam_robot_tpu.models import localmap as lm
 from slam_robot_tpu.ops import ba
+from slam_robot_tpu.ops import epipolar as epi_mod
+from slam_robot_tpu.ops import projection as proj_mod
+from slam_robot_tpu.ops import quaternion as quat
 
 
 def _ba_cfg(cfg: SlamConfig, range_: float, solve_cameras: bool = False,
@@ -109,14 +112,18 @@ def _run(state: lm.MapState, free, present, bcfg: ba.BAConfig,
 
 
 def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
-                 range_: float = 2.0, cfg: SlamConfig | None = None):
+                 range_: float = 2.0, cfg: SlamConfig | None = None,
+                 max_iters: int | None = None, window_obs: int | None = None):
     """Slam::SolveFrames: solve the newest ``num_to_solve`` frame poses (and
     the points they see) against ``num_to_present`` presented frames.
     Returns (state, BAResult)."""
     cfg = cfg or SlamConfig()
     free, present = window_masks(state, num_to_solve, num_to_present)
-    return _run(state, free, present, _ba_cfg(cfg, range_),
-                window_obs=cfg.window_obs)
+    bcfg = _ba_cfg(cfg, range_)
+    if max_iters is not None:
+        bcfg = bcfg._replace(max_iters=max_iters)
+    return _run(state, free, present, bcfg,
+                window_obs=cfg.window_obs if window_obs is None else window_obs)
 
 
 def solve_all_frames(state: lm.MapState, range_: float = 2.0,
@@ -136,5 +143,101 @@ def solve_all_frames(state: lm.MapState, range_: float = 2.0,
 def solve_frame_pose(state: lm.MapState, *_args, **_kw):
     """Slam::SolveFramePose parity: the reference short-circuits to false
     (slam.cpp:177-182), so the matcher's mid-frame re-solve never fires.
-    Kept as an explicit no-op for API completeness."""
+    Kept as an explicit no-op for API parity; the *intended* behavior is
+    implemented in :func:`solve_frame_pose_epipolar`."""
     return state, False
+
+
+def solve_frame_pose_epipolar(state: lm.MapState, cfg: SlamConfig | None = None,
+                              iters: int = 20, min_count: int = 8,
+                              max_pairs: int = 256):
+    """The intended Slam::SolveFramePose (slam.cpp:177-248): re-solve the
+    newest frame's pose against its predecessor from epipolar constraints
+    alone.
+
+    Parameters: the relative rotation q_rel = q2 q1^-1 on its 3-dof tangent
+    and the unit translation direction with the reference's 2-dof
+    parameterization r = normalize([x+d0, y-d0-d1, z+d1])
+    (UnitVectorParameterization, slam.cpp:162-174). Residual per shared
+    point: h2^T skew(t) R h1 in undistorted plane coordinates with
+    CauchyLoss(0.01) (slam.cpp:128-158, 188). Fewer than ``min_count``
+    shared points aborts (slam.cpp:222-225). On success the new pose is
+    q2 = q_rel q1, t2 = t1 - t_dir * |t1 - t2| (slam.cpp:244-245).
+
+    Returns (state, ok).
+    """
+    cfg = cfg or SlamConfig()
+    f2 = jnp.maximum(state.n_frames - 1, 0)
+    f1 = jnp.maximum(state.n_frames - 2, 0)
+
+    # shared points: ring positions of observations in f1 and f2
+    P = state.point_loc.shape[0]
+    frames, ok_ring, _rows = lm._ring_gather(state, state.obs_frame)
+    pxs, _, _ = lm._ring_gather(state, state.obs_px)
+
+    def pick(fid):
+        m = ok_ring & (frames == fid)
+        j = jnp.argmax(m, axis=1)
+        has = jnp.any(m, axis=1)
+        px = jnp.take_along_axis(pxs, j[:, None, None], axis=1)[:, 0]
+        return px, has
+
+    px1, has1 = pick(f1)
+    px2, has2 = pick(f2)
+    pair_ok = has1 & has2 & state.point_mask
+    count = jnp.sum(pair_ok.astype(jnp.int32))
+
+    k1 = state.cam_k[state.frame_cam[f1]]
+    k2 = state.cam_k[state.frame_cam[f2]]
+    h1 = proj_mod.pixel_to_plane(px1, k1)
+    h2 = proj_mod.pixel_to_plane(px2, k2)
+    h1h = jnp.concatenate([h1, jnp.ones((P, 1))], axis=1)
+    h2h = jnp.concatenate([h2, jnp.ones((P, 1))], axis=1)
+    w_pair = pair_ok.astype(jnp.float32)
+
+    q1 = state.frame_quat[f1]
+    t1 = state.frame_trans[f1]
+    q2 = state.frame_quat[f2]
+    t2 = state.frame_trans[f2]
+    q_rel0 = quat.normalize(quat.multiply(q2, quat.conjugate(q1)))
+    tvec = t1 - t2
+    length = jnp.linalg.norm(tvec)
+    t_dir0 = tvec / jnp.maximum(length, 1e-9)
+
+    c = 0.01  # CauchyLoss(0.01), slam.cpp:188
+
+    def residuals(xi, dd, q_rel, t_dir):
+        q = quat.retract(q_rel, xi)
+        t = t_dir + jnp.stack([dd[0], -dd[0] - dd[1], dd[1]])
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+        e = epi_mod.skew(t) @ quat.to_matrix(q)
+        return jnp.einsum("pi,ij,pj->p", h2h, e, h1h,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def gn_step(carry, _):
+        q_rel, t_dir = carry
+        z3 = jnp.zeros(3)
+        z2 = jnp.zeros(2)
+        r = residuals(z3, z2, q_rel, t_dir)
+        jxi = jax.jacfwd(residuals, argnums=0)(z3, z2, q_rel, t_dir)
+        jdd = jax.jacfwd(residuals, argnums=1)(z3, z2, q_rel, t_dir)
+        j = jnp.concatenate([jxi, jdd], axis=1)  # [P,5]
+        wr = w_pair / (1.0 + (r * r) / (c * c))
+        H = jnp.einsum("pa,pb,p->ab", j, j, wr) + 1e-8 * jnp.eye(5)
+        g = jnp.einsum("pa,p,p->a", j, wr, r)
+        d = -jnp.linalg.solve(H, g)
+        q_rel = quat.retract(q_rel, d[:3])
+        t = t_dir + jnp.stack([d[3], -d[3] - d[4], d[4]])
+        t_dir = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+        return (q_rel, t_dir), None
+
+    (q_rel, t_dir), _ = jax.lax.scan(gn_step, (q_rel0, t_dir0), None, length=iters)
+
+    ok = (count >= min_count) & (state.n_frames >= 2)
+    new_q2 = quat.normalize(quat.multiply(q_rel, q1))
+    new_t2 = t1 - t_dir * length
+    state = state._replace(
+        frame_quat=jnp.where(ok, state.frame_quat.at[f2].set(new_q2), state.frame_quat),
+        frame_trans=jnp.where(ok, state.frame_trans.at[f2].set(new_t2), state.frame_trans),
+    )
+    return state, ok

@@ -80,6 +80,53 @@ def _cauchy_weight(s, c):
     return 1.0 / (1.0 + s / (c * c))
 
 
+def inv4x4(m):
+    """Batched closed-form 4x4 inverse via the adjugate.
+
+    jnp.linalg.inv lowers to an LU loop that serializes badly on TPU for
+    [P,4,4] stacks; the cofactor expansion is pure vectorized elementwise
+    math. m: [..., 4, 4].
+    """
+    a = m
+    # 2x2 sub-determinants of rows 0-1 and rows 2-3 (Laplace on 2x2 blocks)
+    s0 = a[..., 0, 0] * a[..., 1, 1] - a[..., 1, 0] * a[..., 0, 1]
+    s1 = a[..., 0, 0] * a[..., 1, 2] - a[..., 1, 0] * a[..., 0, 2]
+    s2 = a[..., 0, 0] * a[..., 1, 3] - a[..., 1, 0] * a[..., 0, 3]
+    s3 = a[..., 0, 1] * a[..., 1, 2] - a[..., 1, 1] * a[..., 0, 2]
+    s4 = a[..., 0, 1] * a[..., 1, 3] - a[..., 1, 1] * a[..., 0, 3]
+    s5 = a[..., 0, 2] * a[..., 1, 3] - a[..., 1, 2] * a[..., 0, 3]
+    c5 = a[..., 2, 2] * a[..., 3, 3] - a[..., 3, 2] * a[..., 2, 3]
+    c4 = a[..., 2, 1] * a[..., 3, 3] - a[..., 3, 1] * a[..., 2, 3]
+    c3 = a[..., 2, 1] * a[..., 3, 2] - a[..., 3, 1] * a[..., 2, 2]
+    c2 = a[..., 2, 0] * a[..., 3, 3] - a[..., 3, 0] * a[..., 2, 3]
+    c1 = a[..., 2, 0] * a[..., 3, 2] - a[..., 3, 0] * a[..., 2, 2]
+    c0 = a[..., 2, 0] * a[..., 3, 1] - a[..., 3, 0] * a[..., 2, 1]
+
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    det = jnp.where(jnp.abs(det) > 1e-30, det, jnp.where(det >= 0, 1e-30, -1e-30))
+    inv_det = 1.0 / det
+
+    b = jnp.stack([
+        a[..., 1, 1] * c5 - a[..., 1, 2] * c4 + a[..., 1, 3] * c3,
+        -a[..., 0, 1] * c5 + a[..., 0, 2] * c4 - a[..., 0, 3] * c3,
+        a[..., 3, 1] * s5 - a[..., 3, 2] * s4 + a[..., 3, 3] * s3,
+        -a[..., 2, 1] * s5 + a[..., 2, 2] * s4 - a[..., 2, 3] * s3,
+        -a[..., 1, 0] * c5 + a[..., 1, 2] * c2 - a[..., 1, 3] * c1,
+        a[..., 0, 0] * c5 - a[..., 0, 2] * c2 + a[..., 0, 3] * c1,
+        -a[..., 3, 0] * s5 + a[..., 3, 2] * s2 - a[..., 3, 3] * s1,
+        a[..., 2, 0] * s5 - a[..., 2, 2] * s2 + a[..., 2, 3] * s1,
+        a[..., 1, 0] * c4 - a[..., 1, 1] * c2 + a[..., 1, 3] * c0,
+        -a[..., 0, 0] * c4 + a[..., 0, 1] * c2 - a[..., 0, 3] * c0,
+        a[..., 3, 0] * s4 - a[..., 3, 1] * s2 + a[..., 3, 3] * s0,
+        -a[..., 2, 0] * s4 + a[..., 2, 1] * s2 - a[..., 2, 3] * s0,
+        -a[..., 1, 0] * c3 + a[..., 1, 1] * c1 - a[..., 1, 2] * c0,
+        a[..., 0, 0] * c3 - a[..., 0, 1] * c1 + a[..., 0, 2] * c0,
+        -a[..., 3, 0] * s3 + a[..., 3, 1] * s1 - a[..., 3, 2] * s0,
+        a[..., 2, 0] * s3 - a[..., 2, 1] * s1 + a[..., 2, 2] * s0,
+    ], axis=-1).reshape(m.shape)
+    return b * inv_det[..., None, None]
+
+
 def _cauchy_rho(s, c):
     return c * c * jnp.log1p(s / (c * c))
 
@@ -270,9 +317,7 @@ def solve(
             jnp.einsum("pii->p", Cp)[:, None, None] / 4.0, 1e-6
         ) + 1e-8 * jnp.eye(4)
         Cdamp = Cp + lamI4
-        Cinv = jnp.where(
-            free_p[:, None, None], jnp.linalg.inv(Cdamp), jnp.zeros((4, 4))
-        )
+        Cinv = jnp.where(free_p[:, None, None], inv4x4(Cdamp), jnp.zeros((4, 4)))
 
         S = jnp.zeros((D, D))
         # frame diag blocks

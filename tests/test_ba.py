@@ -112,3 +112,37 @@ def test_solve_frame_pose_is_noop():
     scene = synthetic.build_scene(CFG, n_frames=4, n_points=10)
     s, ok = slam.solve_frame_pose(scene.state)
     assert ok is False
+
+
+def test_epipolar_pose_solve_recovers_rotation():
+    # perturb the newest frame's rotation; the intended SolveFramePose
+    # (epipolar-only) should pull it back
+    import jax.numpy as jnp
+    from slam_robot_tpu.ops import quaternion as quat
+
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=40)
+    s = scene.state
+    f2 = int(s.n_frames) - 1
+    bad_q = quat.retract(s.frame_quat[f2], jnp.array([0.02, -0.015, 0.01]))
+    s = s._replace(frame_quat=s.frame_quat.at[f2].set(bad_q))
+
+    s2, ok = slam.solve_frame_pose_epipolar(s, CFG)
+    assert bool(ok)
+    err_before = float(quat.angle_between(bad_q, scene.true_quat[f2]))
+    err_after = float(quat.angle_between(s2.frame_quat[f2], scene.true_quat[f2]))
+    assert err_after < 0.3 * err_before
+
+
+def test_epipolar_pose_solve_aborts_few_points():
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=4)
+    s2, ok = slam.solve_frame_pose_epipolar(scene.state, CFG, min_count=8)
+    assert not bool(ok)
+
+
+def test_inv4x4_matches_linalg(rng):
+    from slam_robot_tpu.ops.ba import inv4x4
+
+    m = rng.normal(size=(32, 4, 4)).astype(np.float32)
+    m = m @ m.transpose(0, 2, 1) + 0.5 * np.eye(4)  # SPD, well-conditioned
+    out = np.asarray(inv4x4(jnp.asarray(m)))
+    np.testing.assert_allclose(out, np.linalg.inv(m), rtol=2e-3, atol=2e-4)
