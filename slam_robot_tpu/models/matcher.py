@@ -149,13 +149,26 @@ def track(
 
         view_levels = _view_pyramid(ms, vi, cfg)
 
-        def one(fp, st, lv):
+        def one(fp, st, lv, act):
             return tracker.track_bidirectional(
                 view_levels, new_pyr, fp, st, lv, weight,
                 cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
+                active=act,
             )
 
-        res_px, res_ok = jax.vmap(one)(from_pt, start, lvls)
+        def run(args):
+            from_pt, start, lvls, cand = args
+            return jax.vmap(one)(from_pt, start, lvls, cand)
+
+        def skip(args):
+            from_pt, _, _, _ = args
+            return from_pt, jnp.zeros((NF,), bool)
+
+        # a step with no candidates (retry pass exhausted, stale view slot)
+        # costs one predicate instead of a full tracker sweep
+        res_px, res_ok = jax.lax.cond(
+            jnp.any(cand), run, skip, (from_pt, start, lvls, cand)
+        )
         newly = cand & res_ok
         matched = matched | newly
         to_px = jnp.where(newly[:, None], res_px, to_px)

@@ -62,9 +62,13 @@ def _level_patch(stack: Patch, i) -> Patch:
 
 def track_level(img, width, height, ref_patch: Patch, pt, weight,
                 threshold: float = 0.001, max_iters: int = 10,
-                size: int = 13):
+                size: int = 13, active=True):
     """Newton iterations against one (possibly dynamically indexed) pyramid
-    level (hessian.h:185-241). Returns (new_pt, status)."""
+    level (hessian.h:185-241). Returns (new_pt, status).
+
+    ``active=False`` lanes start done: under vmap the while_loop runs until
+    every lane finishes, so masked lanes must not burn the full iteration
+    budget (they dominate sequential depth otherwise)."""
 
     def score_at(xy):
         return patch_ops.score(
@@ -118,15 +122,17 @@ def track_level(img, width, height, ref_patch: Patch, pt, weight,
         return (it < max_iters) & ~done
 
     pt = jnp.asarray(pt, jnp.float32)
+    done0 = ~jnp.asarray(active, bool)
     xy, status, _, _ = lax.while_loop(
-        cond, body, (pt, jnp.int32(OK), jnp.int32(0), jnp.bool_(False))
+        cond, body, (pt, jnp.int32(OK), jnp.int32(0), done0)
     )
-    status = jnp.where(oob_at(xy), OUT_OF_BOUNDS, status)
+    status = jnp.where(oob_at(xy) & jnp.asarray(active, bool), OUT_OF_BOUNDS, status)
     return xy, status
 
 
 def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
-                  weight, threshold: float = 0.001, max_iters: int = 10):
+                  weight, threshold: float = 0.001, max_iters: int = 10,
+                  active=True):
     """Coarse-to-fine TrackFeature (hessian.h:243-264) with a *dynamic*
     per-feature level count ``lvls`` (the matcher uses 3 or 6 by point
     uncertainty, matcher.cpp:227-229). One fori_loop over levels; levels
@@ -139,30 +145,34 @@ def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
     scale0 = (2.0 ** (lvls - 1)).astype(jnp.float32)
     p0 = jnp.asarray(pt, jnp.float32) / scale0
 
+    active = jnp.asarray(active, bool)
+
     def body(k, carry):
         p, status = carry
         i = n_levels - 1 - k
-        active = i <= lvls - 1
+        lvl_on = i <= lvls - 1
+        failed = status != OK
+        take = lvl_on & ~failed & active
         img, w, h = pyr.level(i)
         new_p, st = track_level(
-            img, w, h, _level_patch(patches, i), p, weight, threshold, max_iters
+            img, w, h, _level_patch(patches, i), p, weight, threshold,
+            max_iters, active=take,
         )
-        failed = status != OK
-        take = active & ~failed
         p = jnp.where(take, new_p, p)
         status = jnp.where(take, st, status)
-        p = jnp.where(active & (i > 0), p * 2.0, p)
+        p = jnp.where(lvl_on & (i > 0), p * 2.0, p)
         return (p, status)
 
     p, status = lax.fori_loop(0, n_levels, body, (p0, jnp.int32(OK)))
-    return p, status == OK
+    return p, (status == OK) & active
 
 
 def track_bidirectional(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                         from_pt, init_to_pt, lvls, weight,
                         threshold: float = 0.001, max_iters: int = 10,
                         roundtrip_px: float = 0.3,
-                        min_variance: float = 1e-5):
+                        min_variance: float = 1e-5,
+                        active=True):
     """Forward/backward consistency tracking (matcher.cpp:173-206).
 
     Forward: patches at from_pt in pyr_from, tracked in pyr_to starting at
@@ -178,11 +188,14 @@ def track_bidirectional(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
 
     Returns (to_pt, ok).
     """
+    active = jnp.asarray(active, bool)
     p1 = get_patch_stack(pyr_from, from_pt)
-    to_pt, ok1 = track_feature(pyr_to, p1, init_to_pt, lvls, weight, threshold, max_iters)
+    to_pt, ok1 = track_feature(pyr_to, p1, init_to_pt, lvls, weight, threshold,
+                               max_iters, active=active)
 
     p2 = get_patch_stack(pyr_to, to_pt)
-    back_pt, ok2 = track_feature(pyr_from, p2, from_pt, lvls, weight, threshold, max_iters)
+    back_pt, ok2 = track_feature(pyr_from, p2, from_pt, lvls, weight, threshold,
+                                 max_iters, active=ok1)
 
     textured = (p1.sumsq[0] - p1.mean[0] ** 2) >= min_variance
     ok = ok1 & ok2 & textured & (jnp.linalg.norm(from_pt - back_pt) <= roundtrip_px)
