@@ -83,6 +83,12 @@ class SlamConfig:
     window_obs: int = 4096             # obs-table tail slice for window BA
                                        # (covers >= 20 frames x 120 obs)
 
+    # ---- optional behaviors (declared but unwired in the reference) ----
+    drop_idle_frames: bool = False     # CheckNotMoving (localmap.cpp:173-187,
+                                       # never called by main.cpp)
+    clean_duplicates: bool = False     # CleanDuplicates (matcher.cpp:274-288,
+                                       # call commented out at :348)
+
     # ---- planner (planner.cpp) ----
     turning_radius: float = 2.0        # planner.cpp:24
     path_types: int = 18               # planner.cpp:25

@@ -183,6 +183,28 @@ def track(
         (xs_vi, xs_pass),
     )
 
+    # optional CleanDuplicates (matcher.cpp:274-288; the reference codes it
+    # but comments out the call): features landing in the same half-res
+    # pixel get MISMATCHED, keeping the first by slot order
+    if cfg.clean_duplicates:
+        cell = (to_px / 2.0).astype(jnp.int32)
+        same = (
+            (cell[:, None, 0] == cell[None, :, 0])
+            & (cell[:, None, 1] == cell[None, :, 1])
+            & matched[:, None]
+            & matched[None, :]
+        )
+        earlier = jnp.arange(NF)[None, :] < jnp.arange(NF)[:, None]
+        dup = jnp.any(same & earlier, axis=1)  # a lower slot owns the cell
+        # OOB sentinel (not -1: negative indices wrap, only OOB drops)
+        dup_points = jnp.where(dup, pt_idx, map_state.point_flags.shape[0])
+        flags = map_state.point_flags.at[dup_points].set(
+            map_state.point_flags[dup_points.clip(0)] | lm.MISMATCHED,
+            mode="drop",
+        )
+        map_state = map_state._replace(point_flags=flags)
+        matched = matched & ~dup
+
     # 3. write observations (matcher.cpp:255-257)
     map_state = lm.add_observations(map_state, frame_idx, pt_idx, to_px, matched)
     n_matches = jnp.sum(matched.astype(jnp.int32))

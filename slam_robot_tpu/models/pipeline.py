@@ -125,6 +125,10 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             m, err1 = lm.reproject(m, cfg.cheirality_eps)
             m = lm.normalize(m)
             m, err2 = lm.reproject(m, cfg.cheirality_eps)
+            if cfg.drop_idle_frames:
+                # the reference declares but never calls this
+                # (localmap.cpp:173-187); opt-in behavior
+                m = lm.check_not_moving(m, cfg.not_moving_d2)
             return m, res_fast, res_slow, err1, err2
 
         def skip_slam(m):

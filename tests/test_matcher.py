@@ -151,3 +151,19 @@ def test_dead_feature_dropped():
     s, f1 = lm.add_frame(s, 1)
     ms, s, _ = matcher.track(ms, s, jnp.asarray(shift(texture(0), 1, 1)), f1, 1, CFG)
     assert 0 not in np.asarray(ms.feat_point)
+
+
+def test_clean_duplicates_flag():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, clean_duplicates=True)
+    ms, s = fresh()
+    img0 = texture(0)
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(img0), f0, 0, cfg)
+    # duplicates are impossible among grid-suppressed corners; the flag run
+    # must behave identically on a clean scene
+    assert int(m0["n_added"]) > 5
+    s, f1 = lm.add_frame(s, 1)
+    ms, s, m1 = matcher.track(ms, s, jnp.asarray(shift(img0, 2, 1)), f1, 1, cfg)
+    assert int(m1["n_matches"]) >= cfg.min_matches
