@@ -146,3 +146,49 @@ def test_inv4x4_matches_linalg(rng):
     m = m @ m.transpose(0, 2, 1) + 0.5 * np.eye(4)  # SPD, well-conditioned
     out = np.asarray(inv4x4(jnp.asarray(m)))
     np.testing.assert_allclose(out, np.linalg.inv(m), rtol=2e-3, atol=2e-4)
+
+
+def test_cg_solver_matches_dense():
+    from slam_robot_tpu.ops import ba_cg
+
+    scene = synthetic.build_scene(CFG, n_frames=8, n_points=40, point_noise=40.0)
+    s = scene.state
+    free, present = slam.window_masks(s, 6, 8)
+    obs_ok = slam._obs_ok(s, present)
+    res = ba_cg.solve(
+        s.frame_quat, s.frame_trans, s.frame_cam, s.cam_k,
+        s.point_loc, s.point_uncertainty,
+        s.obs_frame, s.obs_point, s.obs_px, obs_ok, present, free,
+        ba_cg.CGConfig(max_free_frames=8, gn_iters=15, cg_iters=50),
+    )
+    assert bool(res.ok)
+    s2 = s._replace(frame_quat=res.frame_quat, frame_trans=res.frame_trans,
+                    point_loc=res.point_loc)
+    assert reproj_err(s2) < 0.1
+    pos = np.asarray(res.point_loc[:40, :3] / res.point_loc[:40, 3:])
+    np.testing.assert_allclose(pos, np.asarray(scene.true_points[:, :3]), atol=10.0)
+
+
+def test_cg_solver_larger_map():
+    # a map far beyond the dense solver's A-matrix comfort zone per point
+    cfg = SlamConfig(max_frames=64, max_points=4096, max_obs=32768,
+                     max_obs_per_point=16)
+    scene = synthetic.build_scene(cfg, n_frames=30, n_points=2000,
+                                  point_noise=30.0, pixel_noise=0.2)
+    from slam_robot_tpu.ops import ba_cg
+    from slam_robot_tpu.models import slam as slam_mod
+
+    s = scene.state
+    free, present = slam_mod.window_masks(s, 30, 30)
+    obs_ok = slam_mod._obs_ok(s, present)
+    res = ba_cg.solve(
+        s.frame_quat, s.frame_trans, s.frame_cam, s.cam_k,
+        s.point_loc, s.point_uncertainty,
+        s.obs_frame, s.obs_point, s.obs_px, obs_ok, present, free,
+        ba_cg.CGConfig(max_free_frames=32, gn_iters=10),
+    )
+    s2 = s._replace(frame_quat=res.frame_quat, frame_trans=res.frame_trans,
+                    point_loc=res.point_loc)
+    before = reproj_err(s)
+    after = reproj_err(s2)
+    assert after < 0.1 * before and after < 1.0
