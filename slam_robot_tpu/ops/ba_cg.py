@@ -55,6 +55,8 @@ class CGConfig(NamedTuple):
     uncertainty_free: float = 100.0
     max_free_frames: int = 64     # frame slots in the reduced system
     cheirality_eps: float = 0.001
+    precond: str = "block"        # "block" (6x6 inverses) | "diag" (for
+                                  # 10k-frame systems where batched LU hurts)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -183,11 +185,21 @@ def solve(
             jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI), mode="drop")[:W]
         rhs = jnp.where(slot_active[:, None], bf - e_cb, 0.0)
 
-        # block-Jacobi preconditioned CG
-        Minv = jnp.where(slot_active[:, None, None], jnp.linalg.inv(Hff_d), jnp.eye(6))
+        # Jacobi preconditioner (SCHUR_JACOBI)
+        if cfg.precond == "block":
+            Minv = jnp.where(
+                slot_active[:, None, None], jnp.linalg.inv(Hff_d), jnp.eye(6)
+            )
 
-        def precond(z):
-            return jnp.einsum("wab,wb->wa", Minv, z, precision=_HI)
+            def precond(z):
+                return jnp.einsum("wab,wb->wa", Minv, z, precision=_HI)
+        else:
+            dinv = 1.0 / jnp.maximum(
+                jnp.diagonal(Hff_d, axis1=1, axis2=2), 1e-12
+            )
+
+            def precond(z):
+                return z * dinv
 
         def cg_body(k, st):
             x, rr, z, pdir, rz = st

@@ -67,6 +67,87 @@ def make_points(n_points: int, rng: np.random.Generator,
     return jnp.asarray(pts)
 
 
+def build_large_problem(
+    n_frames: int,
+    n_points: int,
+    obs_per_frame: int = 100,
+    seed: int = 0,
+    point_noise: float = 30.0,
+    pose_noise_mm: float = 10.0,
+    pixel_noise: float = 0.3,
+    cfg: SlamConfig | None = None,
+):
+    """Raw BA problem arrays at mapping scale (BASELINE config 5:
+    10k keyframes / 500k landmarks). Skips MapState (whose per-point rings
+    don't matter for batch BA) and writes the flat tables directly.
+
+    Returns a dict of arrays + ground truth, ready for ops/ba_cg.solve.
+    """
+    cfg = cfg or SlamConfig()
+    rng = np.random.default_rng(seed)
+    k = jnp.asarray(reference_intrinsics(cfg))
+
+    # a long survey trajectory over a large landmark field
+    span = max(n_points / 50.0, 100.0)  # mm per frame step scales with map
+    t_true = np.zeros((n_frames, 3), np.float32)
+    t_true[:, 0] = np.cumsum(rng.normal(20.0, 5.0, n_frames))
+    t_true[:, 2] = np.cumsum(rng.normal(15.0, 5.0, n_frames))
+    yaw = np.cumsum(rng.normal(0.0, 0.002, n_frames)).astype(np.float32)
+    q_true = np.asarray(
+        jax.vmap(lambda a: quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), a))(
+            jnp.asarray(yaw)
+        )
+    )
+
+    pts = np.zeros((n_points, 4), np.float32)
+    pts[:, 0] = rng.uniform(t_true[:, 0].min() - 2000, t_true[:, 0].max() + 2000, n_points)
+    pts[:, 1] = rng.normal(0.0, 800.0, n_points)
+    pts[:, 2] = rng.uniform(t_true[:, 2].min() + 1500, t_true[:, 2].max() + 6000, n_points)
+    pts[:, 3] = 1.0
+
+    # each frame observes obs_per_frame random landmarks ahead of it
+    O = n_frames * obs_per_frame
+    obs_frame = np.repeat(np.arange(n_frames, dtype=np.int32), obs_per_frame)
+    obs_point = rng.integers(0, n_points, O).astype(np.int32)
+
+    px, valid = jax.vmap(proj.project_point)(
+        jnp.asarray(q_true)[obs_frame],
+        jnp.asarray(t_true)[obs_frame],
+        jnp.tile(k, (O, 1)),
+        jnp.asarray(pts)[obs_point],
+    )
+    px = np.asarray(px) + rng.normal(0, pixel_noise, (O, 2)).astype(np.float32)
+    inb = (
+        np.asarray(valid)
+        & (px[:, 0] > 0) & (px[:, 0] < cfg.image_width)
+        & (px[:, 1] > 0) & (px[:, 1] < cfg.image_height)
+    )
+
+    # noisy initial values (first two frames anchored)
+    t0 = t_true + rng.normal(0, pose_noise_mm, (n_frames, 3)).astype(np.float32)
+    t0[:2] = t_true[:2]
+    q0 = q_true
+    p0 = pts.copy()
+    p0[:, :3] += rng.normal(0, point_noise, (n_points, 3)).astype(np.float32)
+
+    return dict(
+        frame_quat=jnp.asarray(q0),
+        frame_trans=jnp.asarray(t0),
+        frame_cam=jnp.zeros(n_frames, jnp.int32),
+        cam_k=jnp.asarray(reference_intrinsics(cfg))[None],
+        point_loc=jnp.asarray(p0),
+        point_uncertainty=jnp.full(n_points, 1e8, jnp.float32),
+        obs_frame=jnp.asarray(obs_frame),
+        obs_point=jnp.asarray(obs_point),
+        obs_px=jnp.asarray(px),
+        obs_ok=jnp.asarray(inb),
+        present=jnp.ones(n_frames, bool),
+        free_frame=jnp.ones(n_frames, bool).at[:2].set(False),
+        true_trans=jnp.asarray(t_true),
+        true_points=jnp.asarray(pts),
+    )
+
+
 def build_scene(
     cfg: SlamConfig,
     n_frames: int = 6,

