@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_robot_tpu.ops import brute, klt, patch as patch_ops, pyramid as pyr, tracker
+
+from tests.test_tracker import make_texture, shift_image  # reuse fixtures
+
+WEIGHT = patch_ops.radial_mask(13)
+
+
+def setup(rng, dx=2.5, dy=-1.5):
+    img = make_texture(rng)
+    img2 = shift_image(img, dx, dy)
+    pa = pyr.build_pyramid(jnp.asarray(img), depth=4)
+    pb = pyr.build_pyramid(jnp.asarray(img2), depth=4)
+    pt = jnp.array([80.0, 60.0])
+    patches = tracker.get_patch_stack(pa, pt)
+    return pa, pb, pt, patches
+
+
+def test_klt_tracks_shift(rng):
+    pa, pb, pt, patches = setup(rng)
+    out, ok = klt.track_feature(pb, patches, pt, 3, WEIGHT)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), [82.5, 58.5], atol=0.2)
+
+
+def test_klt_rejects_oob(rng):
+    pa, pb, pt, patches = setup(rng)
+    out, ok = klt.track_feature(pb, patches, jnp.array([-40.0, -40.0]), 3, WEIGHT)
+    assert not bool(ok)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_brute_tracks_shift(rng):
+    pa, pb, pt, patches = setup(rng)
+    out, ok = brute.track_feature(pb, patches, pt, 3)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), [82.5, 58.5], atol=0.2)
+
+
+def test_brute_rejects_decorrelated(rng):
+    pa, _, pt, patches = setup(rng)
+    other = make_texture(np.random.default_rng(123))
+    pb = pyr.build_pyramid(jnp.asarray(other), depth=4)
+    _, ok = brute.track_feature(pb, patches, pt, 3, sad_threshold=2.0)
+    assert not bool(ok)
+
+
+def test_alt_trackers_vmap(rng):
+    pa, pb, _, _ = setup(rng)
+    pts = jnp.asarray(rng.uniform(40, 80, size=(8, 2)).astype(np.float32))
+
+    def one(p):
+        patches = tracker.get_patch_stack(pa, p)
+        return klt.track_feature(pb, patches, p, 3, WEIGHT)
+
+    outs, oks = jax.jit(jax.vmap(one))(pts)
+    good = np.asarray(oks)
+    err = np.linalg.norm(np.asarray(outs) - (np.asarray(pts) + [2.5, -1.5]), axis=1)
+    assert good.mean() > 0.7 and np.all(err[good] < 0.3)
