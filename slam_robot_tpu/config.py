@@ -27,6 +27,8 @@ class SlamConfig:
     baseline_mm: float = 150.0     # assumed stereo baseline (main.cpp:496)
 
     # ---- tracker (hessian.h, matcher.cpp) ----
+    tracker_kind: str = "hessian"  # "hessian" | "klt" (FeatureTracker
+                                   # typedef seam, matcher.cpp:21)
     patch_size: int = 13           # kWindowSize (matcher.cpp:27)
     pyramid_depth: int = 6         # matcher.cpp:317
     track_threshold: float = 0.001  # convergence step threshold (matcher.cpp:176)

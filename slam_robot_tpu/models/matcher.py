@@ -148,12 +148,18 @@ def track(
         ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
 
         view_levels = _view_pyramid(ms, vi, cfg)
+        if cfg.tracker_kind == "klt":
+            from slam_robot_tpu.ops import klt as _klt
+
+            track_fn = _klt.track_feature
+        else:
+            track_fn = None  # default Hessian/Newton tracker
 
         def one(fp, st, lv, act):
             return tracker.track_bidirectional(
                 view_levels, new_pyr, fp, st, lv, weight,
                 cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
-                active=act,
+                active=act, track_fn=track_fn,
             )
 
         def run(args):

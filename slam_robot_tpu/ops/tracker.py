@@ -172,7 +172,8 @@ def track_bidirectional(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                         threshold: float = 0.001, max_iters: int = 10,
                         roundtrip_px: float = 0.3,
                         min_variance: float = 1e-5,
-                        active=True):
+                        active=True,
+                        track_fn=None):
     """Forward/backward consistency tracking (matcher.cpp:173-206).
 
     Forward: patches at from_pt in pyr_from, tracked in pyr_to starting at
@@ -189,13 +190,14 @@ def track_bidirectional(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     Returns (to_pt, ok).
     """
     active = jnp.asarray(active, bool)
+    fn = track_fn or track_feature  # swap in ops.klt.track_feature etc.
     p1 = get_patch_stack(pyr_from, from_pt)
-    to_pt, ok1 = track_feature(pyr_to, p1, init_to_pt, lvls, weight, threshold,
-                               max_iters, active=active)
+    to_pt, ok1 = fn(pyr_to, p1, init_to_pt, lvls, weight, threshold,
+                    max_iters, active=active)
 
     p2 = get_patch_stack(pyr_to, to_pt)
-    back_pt, ok2 = track_feature(pyr_from, p2, from_pt, lvls, weight, threshold,
-                                 max_iters, active=ok1)
+    back_pt, ok2 = fn(pyr_from, p2, from_pt, lvls, weight, threshold,
+                      max_iters, active=ok1)
 
     textured = (p1.sumsq[0] - p1.mean[0] ** 2) >= min_variance
     ok = ok1 & ok2 & textured & (jnp.linalg.norm(from_pt - back_pt) <= roundtrip_px)

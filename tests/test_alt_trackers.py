@@ -60,3 +60,20 @@ def test_alt_trackers_vmap(rng):
     good = np.asarray(oks)
     err = np.linalg.norm(np.asarray(outs) - (np.asarray(pts) + [2.5, -1.5]), axis=1)
     assert good.mean() > 0.7 and np.all(err[good] < 0.3)
+
+
+def test_matcher_with_klt_tracker(rng):
+    import dataclasses
+
+    from slam_robot_tpu.models import localmap as lm, matcher
+    from tests.test_matcher import CFG, fresh, texture, shift
+
+    cfg = dataclasses.replace(CFG, tracker_kind="klt")
+    ms, s = fresh()
+    img0 = texture(0)
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(img0), f0, 0, cfg)
+    assert int(m0["n_added"]) > 5
+    s, f1 = lm.add_frame(s, 1)
+    ms, s, m1 = matcher.track(ms, s, jnp.asarray(shift(img0, 2, 1)), f1, 1, cfg)
+    assert int(m1["n_matches"]) >= cfg.min_matches
