@@ -268,24 +268,30 @@ def solve(
         jk = jk * use[:, None, None]
         wr = w[:, None] * jnp.where(use[:, None], r, 0.0)
 
+        # Block accumulation via one-hot matmuls, NOT scatter-adds: TPU
+        # scatters are sort-based and serialized; a dozen of them per LM
+        # iteration measured ~8ms/iter while the equivalent dot_generals run
+        # on the MXU in microseconds. one_hot(sentinel) rows are all-zero,
+        # which reproduces mode="drop".
+        ohp = jax.nn.one_hot(p_idx, P, dtype=jnp.float32)          # [O,P]
+        ohs = jax.nn.one_hot(obs_slot, W + 1, dtype=jnp.float32)[:, :W]  # [O,W]
+
         # landmark blocks
-        Cp = jnp.zeros((P, 4, 4)).at[p_idx].add(
-            jnp.einsum("oia,oib,o->oab", jp, jp, w, precision=_HI), mode="drop"
-        )
-        bp = jnp.zeros((P, 4)).at[p_idx].add(
-            -jnp.einsum("oia,oi->oa", jp, wr, precision=_HI), mode="drop"
-        )
+        blk_pp = jnp.einsum("oia,oib,o->oab", jp, jp, w, precision=_HI)
+        Cp = jnp.einsum("op,oab->pab", ohp, blk_pp, precision=_HI)
+        bp = -jnp.einsum("op,oia,oi->pa", ohp, jp, wr, precision=_HI)
 
         # frame blocks + frame-point coupling
-        Hff = jnp.zeros((W + 1, 6, 6)).at[obs_slot].add(
-            jnp.einsum("oia,oib,o->oab", jf, jf, w, precision=_HI), mode="drop"
-        )[:W]
-        bf = jnp.zeros((W + 1, 6)).at[obs_slot].add(
-            -jnp.einsum("oia,oi->oa", jf, wr, precision=_HI), mode="drop"
-        )[:W]
-        A = jnp.zeros((P, W + 1, 6, 4)).at[p_idx, obs_slot].add(
-            jnp.einsum("oia,oib,o->oab", jf, jp, w, precision=_HI), mode="drop"
-        )[:, :W]
+        blk_ff = jnp.einsum("oia,oib,o->oab", jf, jf, w, precision=_HI)
+        Hff = jnp.einsum("ow,oab->wab", ohs, blk_ff, precision=_HI)
+        bf = -jnp.einsum("ow,oia,oi->wa", ohs, jf, wr, precision=_HI)
+        blk_fp = jnp.einsum("oia,oib,o->oab", jf, jp, w, precision=_HI)
+        A = jnp.einsum(
+            "op,owab->pwab",
+            ohp,
+            jnp.einsum("ow,oab->owab", ohs, blk_fp, precision=_HI),
+            precision=_HI,
+        )  # [P,W,6,4]
 
         # ---- frame distance prior ----
         tprev = jnp.roll(ft, 1, axis=0)
@@ -295,22 +301,24 @@ def solve(
         rp = cfg.frame_dist_weight * (dnorm - cfg.baseline)
         wp = jnp.where(prior_f, _cauchy_weight(rp * rp, cfg.frame_dist_loss), 0.0)
         jp_t = cfg.frame_dist_weight * dhat          # d rp / d t_f   [F,3]
-        # scatter into reduced system
         slot_f = slot_of
         slot_prev = jnp.roll(slot_of, 1).at[0].set(W)
-        # diag contributions
+        oh_f = jax.nn.one_hot(jnp.where(prior_f, slot_f, W), W + 1,
+                              dtype=jnp.float32)[:, :W]            # [F,W]
+        oh_prev = jax.nn.one_hot(jnp.where(prior_f, slot_prev, W), W + 1,
+                                 dtype=jnp.float32)[:, :W]
         blk = jnp.einsum("fa,fb,f->fab", jp_t, jp_t, wp, precision=_HI)
-        Hff = Hff.at[slot_f, 3:, 3:].add(jnp.where(prior_f[:, None, None], blk, 0.0), mode="drop")
-        Hff = Hff.at[slot_prev, 3:, 3:].add(
-            jnp.where((prior_f & (slot_prev < W))[:, None, None], blk, 0.0), mode="drop"
+        prior_diag = (
+            jnp.einsum("fw,fab->wab", oh_f, blk, precision=_HI)
+            + jnp.einsum("fw,fab->wab", oh_prev, blk, precision=_HI)
         )
-        bf = bf.at[slot_f, 3:].add(
-            jnp.where(prior_f[:, None], -(wp * rp)[:, None] * jp_t, 0.0), mode="drop"
+        Hff = Hff.at[:, 3:, 3:].add(prior_diag)
+        gvec = (wp * rp)[:, None] * jp_t
+        prior_b = (
+            -jnp.einsum("fw,fa->wa", oh_f, gvec, precision=_HI)
+            + jnp.einsum("fw,fa->wa", oh_prev, gvec, precision=_HI)
         )
-        bf = bf.at[slot_prev, 3:].add(
-            jnp.where((prior_f & (slot_prev < W))[:, None], (wp * rp)[:, None] * jp_t, 0.0),
-            mode="drop",
-        )
+        bf = bf.at[:, 3:].add(prior_b)
 
         # ---- assemble reduced system ----
         lamI4 = lam * jnp.eye(4) * jnp.maximum(
@@ -319,31 +327,23 @@ def solve(
         Cdamp = Cp + lamI4
         Cinv = jnp.where(free_p[:, None, None], inv4x4(Cdamp), jnp.zeros((4, 4)))
 
-        S = jnp.zeros((D, D))
-        # frame diag blocks
         eyeW = jnp.eye(6)
         Hff_d = Hff + lam * eyeW * jnp.maximum(
             jnp.einsum("fii->f", Hff)[:, None, None] / 6.0, 1e-6
         ) + 1e-8 * eyeW
-        S = S.at[:DF, :DF].set(
-            jax.scipy.linalg.block_diag(*[Hff_d[i] for i in range(W)])
-        )
-        # prior off-diagonal coupling between slot_f and slot_prev
-        both = prior_f & (slot_f < W) & (slot_prev < W)
+
+        # block-diagonal + prior off-diagonal coupling, all static placement
+        S66 = jnp.einsum("wv,wab->wavb", jnp.eye(W), Hff_d, precision=_HI)
         off = jnp.einsum("fa,fb,f->fab", jp_t, -jp_t, wp, precision=_HI)
-        off = jnp.where(both[:, None, None], off, 0.0)
-        rows = jnp.where(both[:, None], (slot_f * 6 + 3)[:, None] + jnp.arange(3)[None, :], D)
-        cols = jnp.where(both[:, None], (slot_prev * 6 + 3)[:, None] + jnp.arange(3)[None, :], D)
-        S = S.at[rows[:, :, None], cols[:, None, :]].add(off, mode="drop")
-        S = S.at[cols[:, :, None], rows[:, None, :]].add(
-            jnp.swapaxes(off, 1, 2), mode="drop"
-        )
+        T = jnp.einsum("fw,fv,fab->wavb", oh_f, oh_prev, off, precision=_HI)
+        S66 = S66.at[:, 3:, :, 3:].add(T + jnp.transpose(T, (2, 3, 0, 1)))
 
         # schur: S -= sum_p A C^-1 A^T   ([P,W,6,4] x [P,4,4] x [P,W,6,4])
         ACi = jnp.einsum("pwia,pab->pwib", A, Cinv, precision=_HI)
         S_ff = jnp.einsum("pwib,pvjb->wivj", ACi, A, precision=_HI)
-        S = S.at[:DF, :DF].add(-S_ff.reshape(DF, DF))
+        S66 = S66 - S_ff
 
+        S = jnp.zeros((D, D)).at[:DF, :DF].set(S66.reshape(DF, DF))
         rhs = jnp.zeros((D,))
         rhs = rhs.at[:DF].set(
             (bf - jnp.einsum("pwib,pb->wi", ACi, bp, precision=_HI)).reshape(DF)
