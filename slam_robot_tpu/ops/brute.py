@@ -36,7 +36,7 @@ def sad(p1: Patch, p2: Patch, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def search_best(img, width, height, ref_patch: Patch, pt, step: float,
-                half_steps: int = 3, size: int = 13):
+                half_steps: int = 3, size: int = 13, index=None):
     """Grid scan: evaluate SAD on a (2h+1)^2 grid of offsets around pt,
     return (best_pt, best_sad) (SearchBest, brute.h:96-117)."""
     offs = jnp.arange(-half_steps, half_steps + 1, dtype=jnp.float32) * step
@@ -44,7 +44,8 @@ def search_best(img, width, height, ref_patch: Patch, pt, step: float,
     cand = pt[None, :] + jnp.stack([dx.ravel(), dy.ravel()], axis=1)
 
     def one(c):
-        return sad(ref_patch, patch_ops.extract(img, width, height, c, size))
+        return sad(ref_patch,
+                   patch_ops.extract(img, width, height, c, size, index=index))
 
     sads = jax.vmap(one)(cand)
     best = jnp.argmin(sads)
@@ -67,10 +68,10 @@ def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
         p, best_sad = carry
         i = n_levels - 1 - k
         active = i <= lvls - 1
-        img, w, h = pyr.level(i)
+        img, j, w, h = pyr.level_ref(i)
         rp = _level_patch(patches, i)
         step = jnp.where(i == lvls - 1, 1.0, 1.0)  # integer scan per level
-        new_p, s = search_best(img, w, h, rp, p, step)
+        new_p, s = search_best(img, w, h, rp, p, step, index=j)
         p = jnp.where(active, new_p, p)
         best_sad = jnp.where(active & (i == 0), s, best_sad)
         p = jnp.where(active & (i > 0), p * 2.0, p)
@@ -79,10 +80,10 @@ def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
     p, best_sad = jax.lax.fori_loop(0, n_levels, body, (p, best_sad))
 
     # sub-pixel cascade at level 0
-    img, w, h = pyr.level(0)
+    img, j, w, h = pyr.level_ref(0)
     rp = _level_patch(patches, 0)
     for step in (1.0, 1 / 3, 1 / 9, 1 / 27, 1 / 81):
-        p, best_sad = search_best(img, w, h, rp, p, jnp.float32(step))
+        p, best_sad = search_best(img, w, h, rp, p, jnp.float32(step), index=j)
 
     ok = best_sad <= sad_threshold
     return p, ok

@@ -30,16 +30,17 @@ from slam_robot_tpu.ops.tracker import _level_patch
 _MARGIN = 0.01
 
 
-def _patch_and_grads(img, width, height, pt, size: int = 13):
+def _patch_and_grads(img, width, height, pt, size: int = 13, index=None):
     """Bilinear patch plus its analytic spatial gradients (half-pixel
     central differences of the sampled surface)."""
-    p0 = patch_ops.extract(img, width, height, pt, size)
+    ex = lambda q: patch_ops.extract(img, width, height, q, size, index=index)
+    p0 = ex(pt)
     hx = jnp.array([0.5, 0.0])
     hy = jnp.array([0.0, 0.5])
-    px1 = patch_ops.extract(img, width, height, pt + hx, size)
-    px0 = patch_ops.extract(img, width, height, pt - hx, size)
-    py1 = patch_ops.extract(img, width, height, pt + hy, size)
-    py0 = patch_ops.extract(img, width, height, pt - hy, size)
+    px1 = ex(pt + hx)
+    px0 = ex(pt - hx)
+    py1 = ex(pt + hy)
+    py0 = ex(pt - hy)
     gx = px1.data - px0.data
     gy = py1.data - py0.data
     return p0, gx, gy
@@ -47,7 +48,7 @@ def _patch_and_grads(img, width, height, pt, size: int = 13):
 
 def track_level(img, width, height, ref_patch: Patch, pt, weight,
                 threshold: float = 0.001, max_iters: int = 10,
-                size: int = 13, active=True):
+                size: int = 13, active=True, index=None):
     wf = jnp.asarray(width, jnp.float32)
     hf = jnp.asarray(height, jnp.float32)
 
@@ -61,7 +62,7 @@ def track_level(img, width, height, ref_patch: Patch, pt, weight,
         xy, ok, it, done = carry
         bad = oob(xy)
 
-        cur, gx, gy = _patch_and_grads(img, width, height, xy, size)
+        cur, gx, gy = _patch_and_grads(img, width, height, xy, size, index=index)
         alpha = jnp.sqrt(ref_patch.sumsq / jnp.maximum(cur.sumsq, 1e-12))
         beta = ref_patch.mean - alpha * cur.mean
         e = ref_patch.data - cur.data * alpha - beta
@@ -112,9 +113,9 @@ def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls, weight,
         p, ok = carry
         i = n_levels - 1 - k
         take = (i <= lvls - 1) & ok & active
-        img, w, h = pyr.level(i)
+        img, j, w, h = pyr.level_ref(i)
         new_p, st = track_level(img, w, h, _level_patch(patches, i), p, weight,
-                                threshold, max_iters, active=take)
+                                threshold, max_iters, active=take, index=j)
         p = jnp.where(take, new_p, p)
         ok = jnp.where(take, st, ok)
         p = jnp.where((i <= lvls - 1) & (i > 0), p * 2.0, p)

@@ -57,13 +57,16 @@ def radial_mask(size: int = 13, bias: float = 15.0) -> jnp.ndarray:
     return jnp.asarray(_radial_mask_np(size, float(bias)))
 
 
-def extract(img, width, height, pt, size: int = 13) -> Patch:
+def extract(img, width, height, pt, size: int = 13, index=None) -> Patch:
     """Patch of `size`^2 centered at sub-pixel pt=(x,y) in level coordinates.
 
-    ``img`` is an edge-padded level image [Hp, Wp]; ``width``/``height`` are
-    its true (unpadded) extents — static or traced. Equivalent to
-    getRectSubPix with replicate border (hessian.h:77-83). pt follows the
-    pixel-center convention.
+    ``img`` is an edge-padded level image [Hp, Wp] — or, with ``index``
+    given, a stack [N, Hp, Wp] from which plane ``index`` is sliced *inside
+    the same dynamic_slice* (so a traced per-lane level/view index never
+    gathers a whole image). ``width``/``height`` are the level's true
+    (unpadded) extents — static or traced. Equivalent to getRectSubPix with
+    replicate border (hessian.h:77-83). pt follows the pixel-center
+    convention.
     """
     half = (size - 1) // 2
     x, y = pt[0], pt[1]
@@ -77,7 +80,12 @@ def extract(img, width, height, pt, size: int = 13) -> Patch:
     # hold even for wildly out-of-bounds points (validity handles meaning).
     sy = jnp.clip(y0 - half + PAD, 0, height + 2 * PAD - (size + 1))
     sx = jnp.clip(x0 - half + PAD, 0, width + 2 * PAD - (size + 1))
-    win = lax.dynamic_slice(img, (sy, sx), (size + 1, size + 1))
+    if index is None:
+        win = lax.dynamic_slice(img, (sy, sx), (size + 1, size + 1))
+    else:
+        win = lax.dynamic_slice(
+            img, (index, sy, sx), (1, size + 1, size + 1)
+        )[0]
 
     p = (
         (1 - fy) * (1 - fx) * win[:size, :size]

@@ -31,18 +31,50 @@ from jax import lax
 PAD = 8
 
 
-class FlatPyramid(NamedTuple):
-    data: jnp.ndarray     # [L, H0+2*PAD, W0+2*PAD] f32
-    heights: jnp.ndarray  # [L] int32 true level heights
-    widths: jnp.ndarray   # [L] int32 true level widths
+@jax.tree_util.register_pytree_node_class
+class FlatPyramid:
+    """Edge-padded pyramid stack.
+
+    data [L(*V), H0+2*PAD, W0+2*PAD]; per-entry true sizes in
+    heights/widths. ``offset`` is a (possibly traced) base index into the
+    leading axis, letting several pyramids live stacked in one array (the
+    matcher's view ring) and be selected per lane without gathering whole
+    images. ``depth_`` (static) is the level count of one pyramid.
+    """
+
+    def __init__(self, data, heights, widths, depth_: int = 0, offset=0):
+        self.data = data
+        self.heights = heights
+        self.widths = widths
+        self.depth_ = int(depth_)
+        self.offset = offset
+
+    def tree_flatten(self):
+        return (self.data, self.heights, self.widths, self.offset), self.depth_
+
+    @classmethod
+    def tree_unflatten(cls, depth_, children):
+        data, heights, widths, offset = children
+        return cls(data, heights, widths, depth_, offset)
 
     @property
     def depth(self) -> int:
-        return self.data.shape[0]
+        return self.depth_ or self.data.shape[0]
 
     def level(self, i):
-        """(image2d, width, height) for a (possibly traced) level index."""
-        return self.data[i], self.widths[i], self.heights[i]
+        """(image2d, width, height) for a (possibly traced) level index.
+
+        Materializes one level image — fine when i is scalar per call site.
+        Inside per-lane vmapped code prefer :meth:`level_ref`, which keeps
+        the stack unsliced so patch extraction can fold the index into its
+        dynamic_slice."""
+        j = self.offset + i
+        return self.data[j], self.widths[j], self.heights[j]
+
+    def level_ref(self, i):
+        """(stack3d, index, width, height) — no image materialization."""
+        j = self.offset + i
+        return self.data, j, self.widths[j], self.heights[j]
 
 
 def level_dims(height: int, width: int, depth: int) -> tuple[tuple[int, int], ...]:
@@ -125,4 +157,5 @@ def build_pyramid(img, depth: int = 6, sigma0: float = 1.1, sigma_down: float = 
         data=flat,
         heights=jnp.asarray([d[0] for d in dims], jnp.int32),
         widths=jnp.asarray([d[1] for d in dims], jnp.int32),
+        depth_=depth,
     )

@@ -50,8 +50,10 @@ def get_patch_stack(pyr: FlatPyramid, pt, size: int = 13) -> Patch:
     levels = jnp.arange(pyr.depth)
 
     def one(i):
-        img, w, h = pyr.level(i)
-        return patch_ops.extract(img, w, h, pt / (2.0 ** i.astype(jnp.float32)), size)
+        img, j, w, h = pyr.level_ref(i)
+        return patch_ops.extract(
+            img, w, h, pt / (2.0 ** i.astype(jnp.float32)), size, index=j
+        )
 
     return jax.vmap(one)(levels)
 
@@ -62,7 +64,7 @@ def _level_patch(stack: Patch, i) -> Patch:
 
 def track_level(img, width, height, ref_patch: Patch, pt, weight,
                 threshold: float = 0.001, max_iters: int = 10,
-                size: int = 13, active=True):
+                size: int = 13, active=True, index=None):
     """Newton iterations against one (possibly dynamically indexed) pyramid
     level (hessian.h:185-241). Returns (new_pt, status).
 
@@ -72,7 +74,9 @@ def track_level(img, width, height, ref_patch: Patch, pt, weight,
 
     def score_at(xy):
         return patch_ops.score(
-            ref_patch, patch_ops.extract(img, width, height, xy, size), weight
+            ref_patch,
+            patch_ops.extract(img, width, height, xy, size, index=index),
+            weight,
         )
 
     grad_fn = jax.grad(score_at)
@@ -153,10 +157,10 @@ def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
         lvl_on = i <= lvls - 1
         failed = status != OK
         take = lvl_on & ~failed & active
-        img, w, h = pyr.level(i)
+        img, j, w, h = pyr.level_ref(i)
         new_p, st = track_level(
             img, w, h, _level_patch(patches, i), p, weight, threshold,
-            max_iters, active=take,
+            max_iters, active=take, index=j,
         )
         p = jnp.where(take, new_p, p)
         status = jnp.where(take, st, status)
