@@ -117,13 +117,13 @@ def track(
     lvls3 = jnp.where(unc > cfg.uncertainty_confident, cfg.levels_unsure,
                       cfg.levels_confident).astype(jnp.int32)
 
-    # 2. FindMatches. The reference walks a feature's stored views in order
-    #    and keeps the FIRST success, retrying failures at 6 levels
-    #    (matcher.cpp:221-269, 248). Success of one (view, level-count)
-    #    attempt never depends on another, so the sequential walk only
-    #    *skips* work — running every (feature, view, pass) lane in ONE
-    #    batched tracker call and selecting the earliest-priority success
-    #    is result-identical with ~8x less sequential depth.
+    # 2. FindMatches: walk stored views newest-first with a 6-level retry
+    #    pass per view (matcher.cpp:221-269, 248), as one lax.scan so the
+    #    tracker traces once. The sequential form is deliberate: a feature
+    #    that matched on an earlier view is *skipped* on later ones, and in
+    #    steady state most features match on the first view — a fully
+    #    parallel (feature x view x pass) batch was measured 10x slower
+    #    because it pays for every stored view every frame (PERF.md).
     order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
 
     start_pred = jnp.where(
@@ -138,57 +138,66 @@ def track(
     else:
         track_fn = None  # default Hessian/Newton tracker
 
-    # lane grid: [NF, V, 2(pass)]
-    vi_lane = order[None, :, None]                       # [1,V,1]
-    view_ok = (ms.view_frame[order] >= 0)[None, :, None]
-    has = jnp.take_along_axis(ms.feat_valid, order[None, :], axis=1)[:, :, None]
-    from_pt = jnp.take_along_axis(
-        ms.feat_px, order[None, :, None], axis=1
-    )  # [NF,V,2]
-    pass_ok = jnp.stack(
-        [jnp.ones((NF,), bool), lvls3 != cfg.levels_unsure], axis=1
-    )[:, None, :]                                        # [NF,1,2]
-    start = jnp.where(use_pred[:, None], start_pred, 0.0)[:, None, :].repeat(V, 1)
-    start = jnp.where(use_pred[:, None, None], start, from_pt)  # [NF,V,2]
-    inb = (
-        (start[..., 0] >= 0)
-        & (start[..., 1] >= 0)
-        & (start[..., 0] < cfg.image_width)
-        & (start[..., 1] <= cfg.image_height)
-    )[:, :, None]
-    lane_act = live[:, None, None] & view_ok & has & pass_ok & inb  # [NF,V,2]
-    lane_lvls = jnp.broadcast_to(
-        jnp.stack([lvls3, jnp.full((NF,), cfg.levels_unsure, jnp.int32)], 1)[:, None, :],
-        (NF, V, 2),
-    )
-
-    def one(vi, fp, st, lv, act):
-        return tracker.track_bidirectional(
-            _view_pyramid(ms, vi, cfg), new_pyr, fp, st, lv, weight,
-            cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
-            active=act, track_fn=track_fn,
+    def find_step(carry, xs):
+        matched, to_px = carry
+        vi, retry_pass = xs
+        view_ok = ms.view_frame[vi] >= 0
+        from_pt = ms.feat_px[:, vi]
+        has = ms.feat_valid[:, vi]
+        pass_ok = jnp.where(
+            retry_pass == 0,
+            jnp.ones((NF,), bool),
+            lvls3 != cfg.levels_unsure,
         )
+        cand = live & ~matched & view_ok & has & pass_ok
 
-    flat = lambda a: a.reshape((NF * V * 2,) + a.shape[3:])
-    lane_vi = jnp.broadcast_to(vi_lane, (NF, V, 2))
-    lane_from = jnp.broadcast_to(from_pt[:, :, None, :], (NF, V, 2, 2))
-    lane_start = jnp.broadcast_to(start[:, :, None, :], (NF, V, 2, 2))
-    res_px, res_ok = jax.vmap(one)(
-        flat(lane_vi), lane_from.reshape(-1, 2), lane_start.reshape(-1, 2),
-        flat(lane_lvls), flat(lane_act),
+        start = jnp.where(use_pred[:, None], start_pred, from_pt)
+        inb = (
+            (start[:, 0] >= 0)
+            & (start[:, 1] >= 0)
+            & (start[:, 0] < cfg.image_width)
+            & (start[:, 1] <= cfg.image_height)
+        )
+        cand = cand & inb
+        lvls = jnp.where(
+            retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
+        ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
+
+        view_levels = _view_pyramid(ms, vi, cfg)
+
+        def one(fp, st, lv, act):
+            return tracker.track_bidirectional(
+                view_levels, new_pyr, fp, st, lv, weight,
+                cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
+                active=act, track_fn=track_fn,
+            )
+
+        def run(args):
+            from_pt, start, lvls, cand = args
+            return jax.vmap(one)(from_pt, start, lvls, cand)
+
+        def skip(args):
+            from_pt, _, _, _ = args
+            return from_pt, jnp.zeros((NF,), bool)
+
+        # a step with no candidates (retry pass exhausted, stale view slot)
+        # costs one predicate instead of a full tracker sweep
+        res_px, res_ok = jax.lax.cond(
+            jnp.any(cand), run, skip, (from_pt, start, lvls, cand)
+        )
+        newly = cand & res_ok
+        matched = matched | newly
+        to_px = jnp.where(newly[:, None], res_px, to_px)
+        return (matched, to_px), None
+
+    # per view: pass 0 (uncertainty-scaled levels) then pass 1 (retry at 6)
+    xs_vi = jnp.repeat(order, 2)
+    xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
+    (matched, to_px), _ = jax.lax.scan(
+        find_step,
+        (jnp.zeros((NF,), bool), jnp.zeros((NF, 2), jnp.float32)),
+        (xs_vi, xs_pass),
     )
-    res_px = res_px.reshape(NF, V, 2, 2)
-    res_ok = res_ok.reshape(NF, V, 2) & lane_act
-
-    # earliest (view rank, pass) success wins — identical to the walk
-    prio = jnp.arange(V * 2).reshape(1, V, 2)
-    score = jnp.where(res_ok, prio, V * 2)
-    best = jnp.argmin(score.reshape(NF, -1), axis=1)
-    matched = jnp.any(res_ok.reshape(NF, -1), axis=1)
-    to_px = jnp.take_along_axis(
-        res_px.reshape(NF, V * 2, 2), best[:, None, None], axis=1
-    )[:, 0]
-    to_px = jnp.where(matched[:, None], to_px, 0.0)
 
     # optional CleanDuplicates (matcher.cpp:274-288; the reference codes it
     # but comments out the call): features landing in the same half-res
