@@ -32,7 +32,12 @@ class SlamConfig:
     patch_size: int = 13           # kWindowSize (matcher.cpp:27)
     pyramid_depth: int = 6         # matcher.cpp:317
     track_threshold: float = 0.001  # convergence step threshold (matcher.cpp:176)
-    track_max_iters: int = 10      # matcher.cpp:176
+    track_max_iters: int = 6       # ref allows 10 with an early break
+                                   # (matcher.cpp:176); with projection-
+                                   # predicted starts 6 matches the same
+                                   # features (measured) at -30% step time
+                                   # — a batched while runs to the slowest
+                                   # lane, so stragglers bill everyone
     roundtrip_px: float = 0.3      # fwd/bwd consistency gate (matcher.cpp:201)
     mask_bias: float = 15.0        # radial weight 1/(15+r^2) (hessian.h:18)
     blur_sigma0: float = 1.1       # level-0 Gaussian (hessian.h:102)
@@ -70,8 +75,8 @@ class SlamConfig:
     slow_first_n: int = 10
     ba_range: float = 2.0              # CauchyLoss scale (main.cpp:582,593)
     ba_max_iters: int = 50             # ref allows 1000 (slam.cpp:493); GN needs far fewer
-    ba_iters_fast: int = 12            # per-frame window (2,5): warm-started
-    ba_iters_slow: int = 25            # periodic window (10,20)
+    ba_iters_fast: int = 8             # per-frame window (2,5): warm-started
+    ba_iters_slow: int = 15            # periodic window (10,20)
     window_obs_fast: int = 1024        # obs tail slice for the fast window
     ba_ftol: float = 1e-7              # slam.cpp:494
     ba_ftol_fine: float = 1e-9         # slam.cpp:498
