@@ -117,3 +117,34 @@ def test_stop_cli():
     from slam_robot_tpu import stop
 
     assert stop.main() == 0
+
+
+def test_usb_transport_graceful_without_hardware():
+    from slam_robot_tpu.io import usb
+
+    # no Pololu devices in this container: factory must return None, and
+    # the raw classes must not crash
+    t = usb.pololu_transport()
+    assert t is None or callable(t)
+    u = usb.Usb()
+    dev = usb.UsbDevice(u, 0xDEAD, (0xBEEF,))
+    assert dev.handle is None
+    assert dev.control_transfer(0x85, 6000, 0) == -1
+
+
+def test_prefetch_iterator_order(tmp_path):
+    import numpy as np
+
+    from slam_robot_tpu.io import sources
+    from slam_robot_tpu.io.recorder import Recorder
+
+    rec = Recorder(str(tmp_path), fmt="npy")
+    for i in range(5):
+        rec.save(i, np.full((4, 4), i, np.float32))
+    rec.close()
+    src = sources.FileSource(str(tmp_path))
+    seen = [(cam, fid, float(img[0, 0])) for cam, fid, img in sources.prefetch(src)]
+    assert [s[1] for s in seen] == [0, 1, 2, 3, 4]
+    assert [s[2] for s in seen] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    # cameras alternate
+    assert [s[0] for s in seen] == [1, 0, 1, 0, 1]
