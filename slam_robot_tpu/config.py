@@ -91,6 +91,9 @@ class SlamConfig:
                                        # (covers >= 20 frames x 120 obs)
 
     # ---- optional behaviors (declared but unwired in the reference) ----
+    motion_model: str = "copy"         # "copy" (ref, main.cpp:550-552) |
+                                       # "constant_velocity" (the intended
+                                       # EstimateMotion, localmap.h:300)
     drop_idle_frames: bool = False     # CheckNotMoving (localmap.cpp:173-187,
                                        # never called by main.cpp)
     clean_duplicates: bool = False     # CleanDuplicates (matcher.cpp:274-288,

@@ -364,6 +364,34 @@ def normalize(state: MapState, rescale: bool = False, baseline: float = 150.0) -
     )
 
 
+def estimate_motion(state: MapState, frame_idx):
+    """The intended LocalMap::EstimateMotion (declared at localmap.h:300 but
+    never implemented in the reference): constant-velocity prediction for
+    the alternating-stereo rig. The pose of the same physical camera two
+    frames ago is advanced by the displacement between the last two
+    same-camera frames.
+
+    Returns (quat, trans) for the frame at ``frame_idx`` (which should be
+    the newest). Falls back to the plain copy rule when fewer than 4 frames
+    exist (matching the pose-init rules at main.cpp:540-552).
+    """
+    i = jnp.asarray(frame_idx, jnp.int32)
+    q2 = state.frame_quat[jnp.maximum(i - 2, 0)]
+    t2 = state.frame_trans[jnp.maximum(i - 2, 0)]
+    q4 = state.frame_quat[jnp.maximum(i - 4, 0)]
+    t4 = state.frame_trans[jnp.maximum(i - 4, 0)]
+    # velocity of this physical camera over its last stride
+    dt = t2 - t4
+    dq = quat.normalize(quat.multiply(q2, quat.conjugate(q4)))
+    pred_t = t2 + dt
+    pred_q = quat.normalize(quat.multiply(dq, q2))
+    ok = i >= 4
+    return (
+        jnp.where(ok, pred_q, q2),
+        jnp.where(ok, pred_t, t2),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pop_frame / check_not_moving (localmap.cpp:158-187)
 # ---------------------------------------------------------------------------

@@ -72,8 +72,11 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     t0 = jnp.zeros(3, jnp.float32)
     q1 = m.frame_quat[0]
     t1 = jnp.array([cfg.baseline_mm, 0.0, 0.0], jnp.float32)
-    qp = m.frame_quat[jnp.maximum(n - 2, 0)]
-    tp = m.frame_trans[jnp.maximum(n - 2, 0)]
+    if cfg.motion_model == "constant_velocity":
+        qp, tp = lm.estimate_motion(m, n)
+    else:
+        qp = m.frame_quat[jnp.maximum(n - 2, 0)]
+        tp = m.frame_trans[jnp.maximum(n - 2, 0)]
     init_q = jnp.where(n == 0, q0, jnp.where(n == 1, q1, qp))
     init_t = jnp.where(n == 0, t0, jnp.where(n == 1, t1, tp))
 

@@ -229,3 +229,24 @@ def test_ops_jit_under_scan():
 
     s, ok = step(scene.state)
     assert bool(ok)
+
+
+def test_estimate_motion_constant_velocity():
+    # same-camera frames advance +30mm in z per stride; prediction continues it
+    s = small_state()
+    for i in range(5):
+        cam = i % 2
+        t = jnp.array([150.0 * cam, 0.0, 15.0 * (i // 2 * 2)], jnp.float32)
+        s, _ = lm.add_frame(s, cam, quat.identity(), t)
+    # frame 5 (camera 1): frames 3 and 1 are its history
+    q, t = lm.estimate_motion(s, 5)
+    t3 = np.asarray(s.frame_trans[3])
+    t1 = np.asarray(s.frame_trans[1])
+    np.testing.assert_allclose(np.asarray(t), t3 + (t3 - t1), atol=1e-5)
+    # few frames: falls back to copy
+    s2 = small_state()
+    s2, _ = lm.add_frame(s2, 0, quat.identity(), jnp.zeros(3))
+    s2, _ = lm.add_frame(s2, 1, quat.identity(), jnp.array([150.0, 0, 0]))
+    s2, _ = lm.add_frame(s2, 0, quat.identity(), jnp.array([0.0, 0, 10]))
+    q, t = lm.estimate_motion(s2, 2)
+    np.testing.assert_allclose(np.asarray(t), np.zeros(3), atol=1e-5)
