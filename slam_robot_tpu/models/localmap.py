@@ -410,14 +410,24 @@ def pop_frame(state: MapState) -> MapState:
     O = state.obs_frame.shape[0]
     rows = jnp.arange(O)
     removed = (rows >= start) & (rows < state.n_obs) & has
-    # decrement ring totals for the points of removed rows
-    pts = jnp.where(removed, state.obs_point, state.point_loc.shape[0])
+    # decrement ring totals for the points of removed rows, and clear the
+    # ring slot that held each removed row: the removed obs is its point's
+    # most recent, i.e. slot (total-1) % R pre-decrement. Without clearing,
+    # a point whose ring has wrapped (total > R) would later re-read the
+    # stale slot as its oldest observation and fetch the cleared obs row
+    # (_ring_gather only guards idx >= 0).
+    P = state.point_loc.shape[0]
+    R = state.point_obs.shape[1]
+    pts = jnp.where(removed, state.obs_point, P)
+    slot = jnp.mod(state.point_obs_total[pts.clip(0, P - 1)] - 1, R)
+    point_obs = state.point_obs.at[pts, slot].set(-1, mode="drop")
     point_obs_total = state.point_obs_total.at[pts].add(-1, mode="drop")
     return state._replace(
         n_frames=jnp.where(has, last, state.n_frames),
         n_obs=jnp.where(has, start, state.n_obs),
         obs_frame=jnp.where(removed, -1, state.obs_frame),
         obs_point=jnp.where(removed, -1, state.obs_point),
+        point_obs=point_obs,
         point_obs_total=point_obs_total,
     )
 

@@ -61,6 +61,18 @@ def init(cfg: SlamConfig) -> MatcherState:
     )
 
 
+def in_image(pts, cfg: SlamConfig):
+    """Half-open image-bounds gate for tracking start points [.., 2]:
+    0 <= x < width, 0 <= y < height (matcher.cpp:241-244 semantics; both
+    axes exclusive at the far edge)."""
+    return (
+        (pts[..., 0] >= 0)
+        & (pts[..., 1] >= 0)
+        & (pts[..., 0] < cfg.image_width)
+        & (pts[..., 1] < cfg.image_height)
+    )
+
+
 def _view_pyramid(ms: MatcherState, vi, cfg: SlamConfig) -> FlatPyramid:
     """View ``vi``'s pyramid as a FlatPyramid addressing the stacked ring
     [V*L, Hp, Wp] through a (possibly traced) offset — no image gather."""
@@ -152,13 +164,7 @@ def track(
         cand = live & ~matched & view_ok & has & pass_ok
 
         start = jnp.where(use_pred[:, None], start_pred, from_pt)
-        inb = (
-            (start[:, 0] >= 0)
-            & (start[:, 1] >= 0)
-            & (start[:, 0] < cfg.image_width)
-            & (start[:, 1] <= cfg.image_height)
-        )
-        cand = cand & inb
+        cand = cand & in_image(start, cfg)
         lvls = jnp.where(
             retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
         ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)

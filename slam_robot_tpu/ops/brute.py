@@ -70,8 +70,12 @@ def track_feature(pyr: FlatPyramid, patches: Patch, pt, lvls,
         active = i <= lvls - 1
         img, j, w, h = pyr.level_ref(i)
         rp = _level_patch(patches, i)
-        step = jnp.where(i == lvls - 1, 1.0, 1.0)  # integer scan per level
-        new_p, s = search_best(img, w, h, rp, p, step, index=j)
+        # two scans per level like the reference: +-3 px integer grid
+        # (brute.h:147 SearchBest(3,1)) then +-1 px at 1/3-px resolution
+        # (brute.h:148 SearchBest(1, 0.33333))
+        new_p, s = search_best(img, w, h, rp, p, jnp.float32(1.0), index=j)
+        new_p, s = search_best(img, w, h, rp, new_p, jnp.float32(1.0 / 3.0),
+                               index=j)
         p = jnp.where(active, new_p, p)
         best_sad = jnp.where(active & (i == 0), s, best_sad)
         p = jnp.where(active & (i > 0), p * 2.0, p)

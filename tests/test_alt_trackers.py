@@ -77,3 +77,14 @@ def test_matcher_with_klt_tracker(rng):
     s, f1 = lm.add_frame(s, 1)
     ms, s, m1 = matcher.track(ms, s, jnp.asarray(shift(img0, 2, 1)), f1, 1, cfg)
     assert int(m1["n_matches"]) >= cfg.min_matches
+
+
+def test_brute_per_level_refine_cascade(rng):
+    """Regression (round-1 verdict): each coarse level must run the
+    (window 3, res 1) + (window 1, res 1/3) scan pair of brute.h:147-148
+    (the old level step was dead code collapsing to one 1-px scan). A
+    displacement with a strong sub-pixel component tracks tightly."""
+    pa, pb, pt, patches = setup(rng, dx=6.3, dy=-4.7)
+    out, ok = brute.track_feature(pb, patches, pt, 4)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), [86.3, 55.3], atol=0.2)

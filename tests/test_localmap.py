@@ -250,3 +250,34 @@ def test_estimate_motion_constant_velocity():
     s2, _ = lm.add_frame(s2, 0, quat.identity(), jnp.array([0.0, 0, 10]))
     q, t = lm.estimate_motion(s2, 2)
     np.testing.assert_allclose(np.asarray(t), np.zeros(3), atol=1e-5)
+
+
+def test_pop_frame_clears_wrapped_ring_slot():
+    """Regression (round-1 verdict): once a point's obs ring has wrapped
+    (total > R), pop_frame must clear the removed obs's ring slot —
+    otherwise _ring_gather re-reads the cleared obs row (obs_frame=-1) as
+    the point's oldest observation."""
+    cfg = SlamConfig(max_frames=16, max_points=64, max_obs=1024,
+                     max_obs_per_point=4)
+    k = synthetic.reference_intrinsics(cfg)
+    s = lm.empty(cfg)
+    s = lm.set_camera(s, 0, k)
+    s, ids = lm.add_points(s, jnp.array([[0.0, 0, 2000, 1]]),
+                           jnp.array([True]))
+    for i in range(6):
+        s, f = lm.add_frame(s, 0)
+        s = lm.add_observations(s, f, ids[:1],
+                                jnp.array([[320.0 + i, 240.0]]),
+                                jnp.array([True]))
+    assert int(s.point_obs_total[0]) == 6  # ring (R=4) has wrapped
+
+    s2 = lm.pop_frame(s)
+    assert int(s2.point_obs_total[0]) == 5
+    # no ring slot may still reference a removed obs row
+    ring = np.asarray(s2.point_obs[0])
+    assert not np.any(ring >= int(s2.n_obs)), ring
+    # and _ring_gather must not surface the cleared row as valid
+    _, ok, idx = lm._ring_gather(s2, s2.obs_frame)
+    valid_rows = np.asarray(idx[0])[np.asarray(ok[0])]
+    assert valid_rows.size > 0
+    assert np.all(valid_rows < int(s2.n_obs)), valid_rows

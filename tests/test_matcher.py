@@ -167,3 +167,20 @@ def test_clean_duplicates_flag():
     s, f1 = lm.add_frame(s, 1)
     ms, s, m1 = matcher.track(ms, s, jnp.asarray(shift(img0, 2, 1)), f1, 1, cfg)
     assert int(m1["n_matches"]) >= cfg.min_matches
+
+
+def test_in_image_bounds_half_open():
+    """Regression (round-1 verdict): the start gate must be exclusive at
+    BOTH far edges; y == image_height used to pass (old `<=` bound)."""
+    from slam_robot_tpu.models.matcher import in_image
+
+    w, h = float(CFG.image_width), float(CFG.image_height)
+    pts = jnp.array([
+        [0.0, 0.0],
+        [w - 1.0, h - 1.0],
+        [w, 10.0],        # x at far edge: out
+        [10.0, h],        # y at far edge: out (the old bug admitted this)
+        [10.0, h - 0.5],
+    ])
+    got = np.asarray(in_image(pts, CFG))
+    np.testing.assert_array_equal(got, [True, True, False, False, True])
