@@ -29,6 +29,11 @@ class SlamConfig:
     # ---- tracker (hessian.h, matcher.cpp) ----
     tracker_kind: str = "hessian"  # "hessian" | "klt" (FeatureTracker
                                    # typedef seam, matcher.cpp:21)
+    tracker_impl: str = "fused"    # "fused": one Pallas kernel per pyramid
+                                   # level sweep (ops/pallas/newton.py);
+                                   # "lanes": vmapped per-feature autodiff
+                                   # tracker (round-1 path). Same math —
+                                   # tests/test_tracker_fused.py pins parity
     patch_size: int = 13           # kWindowSize (matcher.cpp:27)
     pyramid_depth: int = 6         # matcher.cpp:317
     track_threshold: float = 0.001  # convergence step threshold (matcher.cpp:176)

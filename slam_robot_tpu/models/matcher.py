@@ -38,6 +38,7 @@ from slam_robot_tpu.ops import patch as patch_ops
 from slam_robot_tpu.ops import projection as proj
 from slam_robot_tpu.ops import pyramid as pyr
 from slam_robot_tpu.ops import tracker
+from slam_robot_tpu.ops import tracker_fused
 from slam_robot_tpu.ops.pyramid import PAD, FlatPyramid, level_dims
 
 
@@ -47,10 +48,18 @@ class MatcherState(NamedTuple):
     feat_point: jnp.ndarray   # [NF] int32 map point index, -1 = dead
     feat_px: jnp.ndarray      # [NF, V, 2] stored match per view
     feat_valid: jnp.ndarray   # [NF, V] bool
+    # per-(feature, view) reference patch stacks, extracted ONCE when the
+    # view is stored (feat_px for a view never changes afterwards): the
+    # matcher's forward-track reference patches (matcher.cpp:247 ->
+    # hessian.h:175-183) without the 1.5k-lane per-frame regather
+    feat_patch: jnp.ndarray   # [NF, V, L, S, S] f32
+    feat_pvalid: jnp.ndarray  # [NF, V, L, S, S] f32 (0/1)
+    feat_pstats: jnp.ndarray  # [NF, V, L, 2] (mean, sumsq)
 
 
 def init(cfg: SlamConfig) -> MatcherState:
     V, NF, L = cfg.max_views, cfg.max_features, cfg.pyramid_depth
+    S = cfg.patch_size
     h0, w0 = cfg.image_height, cfg.image_width
     return MatcherState(
         view_frame=jnp.full((V,), -1, jnp.int32),
@@ -58,6 +67,9 @@ def init(cfg: SlamConfig) -> MatcherState:
         feat_point=jnp.full((NF,), -1, jnp.int32),
         feat_px=jnp.zeros((NF, V, 2), jnp.float32),
         feat_valid=jnp.zeros((NF, V), bool),
+        feat_patch=jnp.zeros((NF, V, L, S, S), jnp.float32),
+        feat_pvalid=jnp.zeros((NF, V, L, S, S), jnp.float32),
+        feat_pstats=jnp.zeros((NF, V, L, 2), jnp.float32),
     )
 
 
@@ -171,15 +183,30 @@ def track(
 
         view_levels = _view_pyramid(ms, vi, cfg)
 
-        def one(fp, st, lv, act):
-            return tracker.track_bidirectional(
-                view_levels, new_pyr, fp, st, lv, weight,
-                cfg.track_threshold, cfg.track_max_iters, cfg.roundtrip_px,
-                active=act, track_fn=track_fn,
-            )
+        use_fused = cfg.tracker_kind == "hessian" and cfg.tracker_impl == "fused"
 
         def run(args):
             from_pt, start, lvls, cand = args
+            if use_fused:
+                p1 = patch_ops.Patch(
+                    data=ms.feat_patch[:, vi],
+                    valid=ms.feat_pvalid[:, vi],
+                    mean=ms.feat_pstats[:, vi, :, 0],
+                    sumsq=ms.feat_pstats[:, vi, :, 1],
+                )
+                return tracker_fused.track_bidirectional_batch(
+                    view_levels, new_pyr, from_pt, start, lvls, weight,
+                    cfg.track_threshold, cfg.track_max_iters,
+                    cfg.roundtrip_px, active=cand, p1=p1,
+                )
+
+            def one(fp, st, lv, act):
+                return tracker.track_bidirectional(
+                    view_levels, new_pyr, fp, st, lv, weight,
+                    cfg.track_threshold, cfg.track_max_iters,
+                    cfg.roundtrip_px, active=act, track_fn=track_fn,
+                )
+
             return jax.vmap(one)(from_pt, start, lvls, cand)
 
         def skip(args):
@@ -282,12 +309,29 @@ def track(
         feat_valid = feat_valid.at[sdest].set(False, mode="drop")
         feat_valid = feat_valid.at[sdest, slot].set(True, mode="drop")
 
+        # cache the new view's reference patch stacks once — feat_px for a
+        # stored view never changes, so every later frame's forward track
+        # reads these instead of re-extracting 6 levels x NF lanes
+        stacks = tracker_fused.get_patch_stacks(
+            new_pyr, feat_px[:, slot], cfg.patch_size
+        )
+        feat_patch = ms.feat_patch.at[:, slot].set(stacks.data)
+        feat_pvalid = ms.feat_pvalid.at[:, slot].set(
+            stacks.valid.astype(jnp.float32)
+        )
+        feat_pstats = ms.feat_pstats.at[:, slot].set(
+            jnp.stack([stacks.mean, stacks.sumsq], -1)
+        )
+
         ms = ms._replace(
             view_frame=view_frame,
             view_pyr=view_pyr,
             feat_point=feat_point,
             feat_px=feat_px,
             feat_valid=feat_valid,
+            feat_patch=feat_patch,
+            feat_pvalid=feat_pvalid,
+            feat_pstats=feat_pstats,
         )
         n_added = jnp.sum(assign.astype(jnp.int32))
         return ms, map_state, n_added

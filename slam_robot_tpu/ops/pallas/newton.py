@@ -1,0 +1,323 @@
+"""Fused per-level Newton tracker kernel (hessian.h:147-264 hot loop).
+
+One pallas_call runs ALL Newton iterations of one pyramid level for every
+feature lane at once. Per iteration the 13x13 patch is re-sampled from a
+per-lane 32x32 VMEM window by two banded bilinear matrix products
+(MXU-shaped: [F,S,WW] @ [F,WW,WW] @ [F,WW,S]), and the photometric score's
+exact gradient and Hessian are HAND-DERIVED in closed form — the same
+quantities ops/tracker.py gets from jax.grad/jacfwd, but with only the
+primitives this environment's Mosaic compiler accepts (tools/probe_mosaic*:
+reverse-mode AD transposes and multi-axis reductions SIGABRT the remote
+compiler; batched dot_general, iota/where, fori_loop + pl.when, and
+single-axis reductions are safe).
+
+The window math lives in :func:`newton_window_steps`, a pure jnp function
+shared by three backends:
+  - the Pallas kernel (TPU hot path, one kernel per level sweep)
+  - plain XLA (CPU tests / fallback — identical math, identical results)
+  - pallas interpret mode (kernel plumbing tests)
+
+Semantics mirror ops/tracker.track_level exactly: margin OOB test per
+iteration, Newton step d = -H^-1 g with unit-norm then per-component
+clamp, convergence when both |d| < threshold, done lanes keep their
+position, replicate-border patch clamping at window edges (the window is
+flush with the level's padded edges whenever clamping bites, so the clamp
+reproduces ops/patch.extract's), and validity masks from the raw
+(unclamped) support coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+OK = 0.0
+OUT_OF_BOUNDS = 2.0
+
+_MARGIN = 0.01   # hessian.h:196
+MARGIN_PX = 12   # window margin: 6 Newton px + 6 patch half + bilinear fits 32
+
+
+def _mean2(a):
+    """Mean over the last two axes via sequential single-axis sums
+    (a fused axis=(1,2) reduce crashes the remote Mosaic compiler)."""
+    return jnp.sum(jnp.sum(a, axis=-1), axis=-1) / (a.shape[-1] * a.shape[-2])
+
+
+def _sum2(a):
+    return jnp.sum(jnp.sum(a, axis=-1), axis=-1)
+
+
+def _banded(frac, start, length: int, size: int, d: bool):
+    """[F, size, length] bilinear selection matrix B with B[f,i,k] nonzero at
+    k = start[f]+i (weight 1-frac) and k = start[f]+i+1 (weight frac); with
+    ``d`` the derivative w.r.t. the fractional coordinate instead."""
+    F = frac.shape[0]
+    fr = frac[:, None, None]
+    st = start[:, None, None]
+    i = jax.lax.broadcasted_iota(jnp.int32, (F, size, length), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (F, size, length), 2)
+    if d:
+        return jnp.where(k == i + st, -1.0, 0.0) + jnp.where(
+            k == i + st + 1, 1.0, 0.0
+        )
+    return jnp.where(k == i + st, 1.0 - fr, 0.0) + jnp.where(
+        k == i + st + 1, fr, 0.0
+    )
+
+
+def _bdot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+
+def newton_window_steps(
+    win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
+    wmask, width: float, height: float,
+    threshold: float, max_iters: int, size: int,
+):
+    """Run ``max_iters`` Newton steps for all lanes against per-lane windows.
+
+    win        [F, WH, WW] level pixels; window covers absolute level coords
+               org[f] + (0..WH, 0..WW) (org may be negative: pad offset)
+    pos0       [F, 2] absolute level-coords start (x, y)
+    org        [F, 2] window origin (x, y) in absolute level coords
+    ref*       reference patch stack data/valid/mean/sumsq for this level
+    active     [F] f32 1/0
+    width/height  true level extents (static floats)
+
+    Returns (pos [F,2], status [F] f32, done [F] f32). Pure jnp — runs
+    identically under XLA and inside the Pallas kernel.
+    """
+    F = pos0.shape[0]
+    WH, WW = win.shape[1], win.shape[2]
+    S = size
+    half = (S - 1) // 2
+    eps = 1e-12
+
+    r_mean = ref_mean
+    r_sumsq = ref_sumsq
+
+    def one_iter(state):
+        pos, status, done = state
+        x, y = pos[:, 0], pos[:, 1]
+
+        oob = (
+            (x < _MARGIN) | (y < _MARGIN)
+            | (x + _MARGIN > width) | (y + _MARGIN > height)
+        )
+
+        # window-local patch support origin (raw ints for validity, clamped
+        # for extraction — exactly ops/patch.extract's clamp)
+        lx = x - org[:, 0]
+        ly = y - org[:, 1]
+        x0f = jnp.floor(lx)
+        y0f = jnp.floor(ly)
+        fx = lx - x0f
+        fy = ly - y0f
+        x0 = x0f.astype(jnp.int32) - half
+        y0 = y0f.astype(jnp.int32) - half
+        x0c = jnp.clip(x0, 0, WW - (S + 1))
+        y0c = jnp.clip(y0, 0, WH - (S + 1))
+
+        row = _banded(fy, y0c, WH, S, False)     # [F,S,WH]
+        drow = _banded(fy, y0c, WH, S, True)
+        col = _banded(fx, x0c, WW, S, False).transpose(0, 2, 1)  # [F,WW,S]
+        dcol = _banded(fx, x0c, WW, S, True).transpose(0, 2, 1)
+
+        t1 = _bdot(row, win)    # [F,S,WW]
+        t2 = _bdot(drow, win)
+        p2 = _bdot(t1, col)     # [F,S,S]
+        u = _bdot(t1, dcol)     # dp2/dx
+        v = _bdot(t2, col)      # dp2/dy
+        puv = _bdot(t2, dcol)   # d2p2/dxdy  (d2/dx2 = d2/dy2 = 0: bilinear)
+
+        # validity of the moving patch from RAW support coords (extract's
+        # rule: bilinear support inside the true image)
+        gxi = jax.lax.broadcasted_iota(jnp.int32, (F, S), 1)
+        gx = (x0 + org[:, 0].astype(jnp.int32))[:, None] + gxi
+        gy = (y0 + org[:, 1].astype(jnp.int32))[:, None] + gxi
+        vx = (gx >= 0) & (gx.astype(jnp.float32) + 1.0 <= width)
+        vy = (gy >= 0) & (gy.astype(jnp.float32) + 1.0 <= height)
+        valid2 = vy.astype(jnp.float32)[:, :, None] * vx.astype(jnp.float32)[:, None, :]
+
+        w2 = wmask[None] * ref_valid * valid2    # [F,S,S]
+
+        # photometric stats over ALL pixels (hessian.h mean = sum/S^2)
+        m2 = _mean2(p2)
+        ss2 = _mean2(p2 * p2)
+        ss2s = jnp.maximum(ss2, eps)
+        gate = (ss2 > eps).astype(jnp.float32)   # max() gradient gate
+        m2x = _mean2(u)
+        m2y = _mean2(v)
+        m2xy = _mean2(puv)
+        ss2x = 2.0 * _mean2(p2 * u) * gate
+        ss2y = 2.0 * _mean2(p2 * v) * gate
+        ss2xx = 2.0 * _mean2(u * u) * gate
+        ss2yy = 2.0 * _mean2(v * v) * gate
+        ss2xy = 2.0 * _mean2(u * v + p2 * puv) * gate
+
+        alpha = jnp.sqrt(r_sumsq / ss2s)
+        rx = ss2x / ss2s
+        ry = ss2y / ss2s
+        ax = -0.5 * alpha * rx
+        ay = -0.5 * alpha * ry
+        axx = -0.5 * (ax * rx + alpha * (ss2xx / ss2s - rx * rx))
+        ayy = -0.5 * (ay * ry + alpha * (ss2yy / ss2s - ry * ry))
+        axy = -0.5 * (ay * rx + alpha * (ss2xy / ss2s - rx * ry))
+
+        bx = -ax * m2 - alpha * m2x
+        by = -ay * m2 - alpha * m2y
+        bxx = -axx * m2 - 2.0 * ax * m2x
+        byy = -ayy * m2 - 2.0 * ay * m2y
+        bxy = -axy * m2 - ax * m2y - ay * m2x - alpha * m2xy
+
+        def bc(s):  # broadcast per-lane scalar over patch
+            return s[:, None, None]
+
+        beta = r_mean - alpha * m2
+        e = ref - bc(alpha) * p2 - bc(beta)
+        ex = -bc(ax) * p2 - bc(alpha) * u - bc(bx)
+        ey = -bc(ay) * p2 - bc(alpha) * v - bc(by)
+        exx = -bc(axx) * p2 - 2.0 * bc(ax) * u - bc(bxx)
+        eyy = -bc(ayy) * p2 - 2.0 * bc(ay) * v - bc(byy)
+        exy = (
+            -bc(axy) * p2 - bc(ax) * v - bc(ay) * u - bc(alpha) * puv - bc(bxy)
+        )
+
+        gx_ = 2.0 * _sum2(w2 * e * ex)
+        gy_ = 2.0 * _sum2(w2 * e * ey)
+        hxx = 2.0 * _sum2(w2 * (ex * ex + e * exx))
+        hyy = 2.0 * _sum2(w2 * (ey * ey + e * eyy))
+        hxy = 2.0 * _sum2(w2 * (ex * ey + e * exy))
+
+        det = hxx * hyy - hxy * hxy
+        safe = jnp.where(jnp.abs(det) > 1e-20,
+                         det, jnp.where(det >= 0, 1e-20, -1e-20))
+        dx = -(hyy * gx_ - hxy * gy_) / safe
+        dy = -(-hxy * gx_ + hxx * gy_) / safe
+        finite = (jnp.abs(dx) < 1e20) & (jnp.abs(dy) < 1e20)
+        dx = jnp.where(finite, dx, 0.0)
+        dy = jnp.where(finite, dy, 0.0)
+
+        n = jnp.sqrt(dx * dx + dy * dy)
+        scale = jnp.where(n > 1.0, 1.0 / jnp.maximum(n, 1e-20), 1.0)
+        dx = dx * scale
+        dy = dy * scale
+        sx = jnp.clip(dx, -1.0, 1.0)
+        sy = jnp.clip(dy, -1.0, 1.0)
+
+        converged = (jnp.abs(dx) < threshold) & (jnp.abs(dy) < threshold)
+
+        move = (~oob) & (done < 0.5)
+        new_pos = jnp.stack(
+            [jnp.where(move, x + sx, x), jnp.where(move, y + sy, y)], -1
+        )
+        new_status = jnp.where(
+            (done < 0.5) & oob, OUT_OF_BOUNDS, status
+        )
+        new_done = jnp.maximum(
+            done, (oob | converged).astype(jnp.float32)
+        )
+        return new_pos, new_status, new_done
+
+    pos = pos0
+    status = jnp.zeros((F,), jnp.float32)
+    done = 1.0 - active
+
+    def body(_, state):
+        return one_iter(state)
+
+    pos, status, done = jax.lax.fori_loop(0, max_iters, body, (pos, status, done))
+
+    x, y = pos[:, 0], pos[:, 1]
+    final_oob = (
+        (x < _MARGIN) | (y < _MARGIN)
+        | (x + _MARGIN > width) | (y + _MARGIN > height)
+    )
+    status = jnp.where(final_oob & (active > 0.5), OUT_OF_BOUNDS, status)
+    return pos, status, done
+
+
+def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
+            w_ref, pos_out, st_out, *, width, height, threshold, max_iters,
+            size):
+    pos, status, _ = newton_window_steps(
+        win_ref[:], pos_ref[:], org_ref[:], ref_ref[:], rv_ref[:],
+        rstat_ref[:, 0], rstat_ref[:, 1], act_ref[:, 0], w_ref[:],
+        width, height, threshold, max_iters, size,
+    )
+    pos_out[:] = pos
+    st_out[:] = jnp.stack([status, status], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "threshold", "max_iters", "size",
+                     "backend"),
+)
+def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
+                 wmask, width, height, threshold=0.001, max_iters=6,
+                 size=13, backend="pallas"):
+    """Batched per-level Newton refinement. Returns (pos [F,2], status [F]).
+
+    backend: "pallas" (TPU kernel), "interpret" (kernel in interpreter for
+    host tests), "xla" (same math as plain XLA ops).
+    """
+    active = jnp.asarray(active, jnp.float32)
+    if backend == "xla":
+        pos, status, _ = newton_window_steps(
+            win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
+            wmask, float(width), float(height), float(threshold),
+            int(max_iters), int(size),
+        )
+        return pos, status
+
+    F = pos0.shape[0]
+    S = int(size)
+    WH, WW = win.shape[1], win.shape[2]
+    kern = functools.partial(
+        _kernel, width=float(width), height=float(height),
+        threshold=float(threshold), max_iters=int(max_iters), size=S,
+    )
+    rstat = jnp.stack([ref_mean, ref_sumsq], -1)
+    act2 = jnp.stack([active, active], -1)
+
+    # block the lane axis: one whole-F program needs ~40MB of scoped VMEM
+    # for the Newton body's temporaries (> the 16MB budget); 32-lane blocks
+    # stay ~5MB and the grid pipelines block loads against compute
+    bf = min(32, F)
+    grid = (pl.cdiv(F, bf),)
+
+    def at_f(i):
+        return (i, 0, 0)
+
+    pos, st = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 2), jnp.float32),
+            jax.ShapeDtypeStruct((F, 2), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((bf, WH, WW), at_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, S, S), at_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, S, S), at_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=(backend == "interpret"),
+    )(win, pos0, org, ref, ref_valid, rstat, act2, wmask)
+    return pos, st[:, 0]

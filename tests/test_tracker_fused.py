@@ -1,0 +1,142 @@
+"""Fused Newton tracker: derivative correctness + lane-by-lane parity with
+the autodiff tracker (ops/tracker.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_robot_tpu.ops import patch as patch_ops
+from slam_robot_tpu.ops import pyramid as pyr
+from slam_robot_tpu.ops import tracker, tracker_fused
+from slam_robot_tpu.ops.pallas import newton
+
+from tests.test_tracker import make_texture, shift_image
+
+WEIGHT = patch_ops.radial_mask(13)
+ITERS = 6
+
+
+def setup(rng, dx=2.5, dy=-1.5, depth=4):
+    img = make_texture(rng)
+    img2 = shift_image(img, dx, dy)
+    pa = pyr.build_pyramid(jnp.asarray(img), depth=depth)
+    pb = pyr.build_pyramid(jnp.asarray(img2), depth=depth)
+    return pa, pb
+
+
+def test_hand_derivatives_match_autodiff(rng):
+    """The kernel's closed-form grad/Hessian == jax.grad / jacfwd of the
+    same banded-extraction window score (one Newton step comparison)."""
+    win = jnp.asarray(rng.uniform(0.2, 0.8, size=(5, 32, 32)).astype(np.float32))
+    ref = jnp.asarray(rng.uniform(0.2, 0.8, size=(5, 13, 13)).astype(np.float32))
+    pos0 = jnp.asarray(rng.uniform(11.2, 13.7, size=(5, 2)).astype(np.float32))
+    org = jnp.zeros((5, 2), jnp.float32)
+    rv = jnp.ones((5, 13, 13), jnp.float32)
+    rmean = jnp.mean(ref, axis=(1, 2))
+    rss = jnp.mean(ref * ref, axis=(1, 2))
+
+    got, _ = newton.newton_level(
+        win, pos0, org, ref, rv, rmean, rss, jnp.ones((5,)), WEIGHT,
+        width=32.0, height=32.0, threshold=1e-9, max_iters=1, backend="xla",
+    )
+
+    # reference: autodiff of the identical window score
+    def score(xy, f):
+        fx = xy[0] - jnp.floor(xy[0])
+        fy = xy[1] - jnp.floor(xy[1])
+        x0 = jnp.floor(xy[0]).astype(jnp.int32) - 6
+        y0 = jnp.floor(xy[1]).astype(jnp.int32) - 6
+        rows = jnp.arange(13)[:, None] + jnp.arange(32)[None, :] * 0
+        k = jnp.arange(32)[None, :]
+        rowm = (
+            jnp.where(k == rows + y0, 1.0 - fy, 0.0)
+            + jnp.where(k == rows + y0 + 1, fy, 0.0)
+        )
+        colm = (
+            jnp.where(k == rows + x0, 1.0 - fx, 0.0)
+            + jnp.where(k == rows + x0 + 1, fx, 0.0)
+        )
+        p2 = rowm @ win[f] @ colm.T
+        m2 = jnp.mean(p2)
+        ss2 = jnp.mean(p2 * p2)
+        alpha = jnp.sqrt(rss[f] / jnp.maximum(ss2, 1e-12))
+        beta = rmean[f] - alpha * m2
+        d = ref[f] - alpha * p2 - beta
+        return jnp.sum(d * d * WEIGHT)
+
+    for f in range(5):
+        g = jax.grad(score)(pos0[f], f)
+        h = jax.jacfwd(jax.grad(score))(pos0[f], f)
+        det = h[0, 0] * h[1, 1] - h[0, 1] * h[1, 0]
+        d = -jnp.stack([
+            h[1, 1] * g[0] - h[0, 1] * g[1],
+            -h[1, 0] * g[0] + h[0, 0] * g[1],
+        ]) / det
+        n = jnp.linalg.norm(d)
+        d = jnp.where(n > 1.0, d / n, d)
+        want = pos0[f] + jnp.clip(d, -1, 1)
+        np.testing.assert_allclose(np.asarray(got[f]), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_track_feature_parity_with_autodiff_tracker(rng):
+    pa, pb = setup(rng)
+    pts = jnp.asarray(rng.uniform(30, 90, size=(16, 2)).astype(np.float32))
+    lvls = jnp.asarray([3, 4] * 8, jnp.int32)
+
+    patches = tracker_fused.get_patch_stacks(pa, pts)
+    got_pos, got_ok = tracker_fused.track_feature_batch(
+        pb, patches, pts, lvls, WEIGHT, max_iters=ITERS, backend="xla",
+    )
+
+    def one(p, lv):
+        stack = tracker.get_patch_stack(pa, p)
+        return tracker.track_feature(pb, stack, p, lv, WEIGHT,
+                                     max_iters=ITERS)
+
+    want_pos, want_ok = jax.vmap(one)(pts, lvls)
+
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(want_ok))
+    ok = np.asarray(want_ok)
+    np.testing.assert_allclose(
+        np.asarray(got_pos)[ok], np.asarray(want_pos)[ok], atol=2e-3,
+    )
+
+
+def test_bidirectional_parity(rng):
+    pa, pb = setup(rng, dx=3.2, dy=2.1)
+    pts = jnp.asarray(rng.uniform(35, 85, size=(12, 2)).astype(np.float32))
+    lvls = jnp.full((12,), 4, jnp.int32)
+    active = jnp.asarray([True] * 10 + [False] * 2)
+
+    got_px, got_ok = tracker_fused.track_bidirectional_batch(
+        pa, pb, pts, pts, lvls, WEIGHT, max_iters=ITERS, active=active,
+        backend="xla",
+    )
+
+    def one(p, act):
+        return tracker.track_bidirectional(pa, pb, p, p, 4, WEIGHT,
+                                           max_iters=ITERS, active=act)
+
+    want_px, want_ok = jax.vmap(one)(pts, active)
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(want_ok))
+    ok = np.asarray(want_ok)
+    np.testing.assert_allclose(
+        np.asarray(got_px)[ok], np.asarray(want_px)[ok], atol=5e-3,
+    )
+    assert np.asarray(got_ok).sum() > 6  # the scene is trackable
+
+
+def test_kernel_interpret_matches_xla(rng):
+    win = jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 32, 32)).astype(np.float32))
+    ref = jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 13, 13)).astype(np.float32))
+    pos0 = jnp.asarray(rng.uniform(10.0, 14.0, size=(8, 2)).astype(np.float32))
+    org = jnp.zeros((8, 2), jnp.float32)
+    rv = jnp.ones((8, 13, 13), jnp.float32)
+    args = (win, pos0, org, ref, rv, jnp.mean(ref, axis=(1, 2)),
+            jnp.mean(ref * ref, axis=(1, 2)), jnp.ones((8,)), WEIGHT)
+    kw = dict(width=32.0, height=32.0, max_iters=3)
+    px, sx = newton.newton_level(*args, backend="xla", **kw)
+    pi, si = newton.newton_level(*args, backend="interpret", **kw)
+    np.testing.assert_allclose(np.asarray(px), np.asarray(pi), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(si))
