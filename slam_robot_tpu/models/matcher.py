@@ -148,8 +148,6 @@ def track(
     #    steady state most features match on the first view — a fully
     #    parallel (feature x view x pass) batch was measured 10x slower
     #    because it pays for every stored view every frame (PERF.md).
-    order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
-
     start_pred = jnp.where(
         ((unc < cfg.uncertainty_confident) & pred_ok)[:, None], pred_px, 0.0
     )
@@ -162,37 +160,52 @@ def track(
     else:
         track_fn = None  # default Hessian/Newton tracker
 
-    def find_step(carry, xs):
-        matched, to_px = carry
-        vi, retry_pass = xs
-        view_ok = ms.view_frame[vi] >= 0
-        from_pt = ms.feat_px[:, vi]
-        has = ms.feat_valid[:, vi]
-        pass_ok = jnp.where(
-            retry_pass == 0,
-            jnp.ones((NF,), bool),
-            lvls3 != cfg.levels_unsure,
-        )
-        cand = live & ~matched & view_ok & has & pass_ok
+    use_fused = cfg.tracker_kind == "hessian" and cfg.tracker_impl == "fused"
+    L = cfg.pyramid_depth
 
-        start = jnp.where(use_pred[:, None], start_pred, from_pt)
-        cand = cand & in_image(start, cfg)
-        lvls = jnp.where(
-            retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
-        ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
+    if use_fused:
+        # PER-LANE VIEW RANKS: the reference walks views newest-first per
+        # feature, trying the next view only on failure (matcher.cpp:
+        # 221-269). A lane's attempt sequence is exactly its own valid
+        # views sorted newest-first, so scanning (rank, retry-pass) with a
+        # per-lane view pick is equivalent to the global (view, pass) walk
+        # — but in steady state every lane matches at rank 0, so ONE sweep
+        # does the work the view walk spread over V cond-guarded sweeps.
+        key = jnp.where(
+            ms.feat_valid & (ms.view_frame >= 0)[None, :],
+            ms.view_frame[None, :], -1,
+        )  # [NF, V]
+        lane_order = jnp.argsort(-key, axis=1)          # [NF, V] view idx
+        key_sorted = jnp.take_along_axis(key, lane_order, axis=1)
 
-        view_levels = _view_pyramid(ms, vi, cfg)
+        def find_step(carry, xs):
+            matched, to_px = carry
+            rank, retry_pass = xs
+            vi_lane = lane_order[:, rank]               # [NF]
+            has = key_sorted[:, rank] >= 0
+            from_pt = ms.feat_px[jnp.arange(NF), vi_lane]
+            pass_ok = jnp.where(
+                retry_pass == 0,
+                jnp.ones((NF,), bool),
+                lvls3 != cfg.levels_unsure,
+            )
+            cand = live & ~matched & has & pass_ok
+            start = jnp.where(use_pred[:, None], start_pred, from_pt)
+            cand = cand & in_image(start, cfg)
+            lvls = jnp.where(
+                retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
+            ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
 
-        use_fused = cfg.tracker_kind == "hessian" and cfg.tracker_impl == "fused"
+            view_levels = _view_pyramid(ms, vi_lane, cfg)  # per-lane offset
 
-        def run(args):
-            from_pt, start, lvls, cand = args
-            if use_fused:
+            def run(args):
+                from_pt, start, lvls, cand = args
+                lanes = jnp.arange(NF)
                 p1 = patch_ops.Patch(
-                    data=ms.feat_patch[:, vi],
-                    valid=ms.feat_pvalid[:, vi],
-                    mean=ms.feat_pstats[:, vi, :, 0],
-                    sumsq=ms.feat_pstats[:, vi, :, 1],
+                    data=ms.feat_patch[lanes, vi_lane],
+                    valid=ms.feat_pvalid[lanes, vi_lane],
+                    mean=ms.feat_pstats[lanes, vi_lane, :, 0],
+                    sumsq=ms.feat_pstats[lanes, vi_lane, :, 1],
                 )
                 return tracker_fused.track_bidirectional_batch(
                     view_levels, new_pyr, from_pt, start, lvls, weight,
@@ -200,36 +213,78 @@ def track(
                     cfg.roundtrip_px, active=cand, p1=p1,
                 )
 
-            def one(fp, st, lv, act):
-                return tracker.track_bidirectional(
-                    view_levels, new_pyr, fp, st, lv, weight,
-                    cfg.track_threshold, cfg.track_max_iters,
-                    cfg.roundtrip_px, active=act, track_fn=track_fn,
-                )
+            def skip(args):
+                from_pt, _, _, _ = args
+                return from_pt, jnp.zeros((NF,), bool)
 
-            return jax.vmap(one)(from_pt, start, lvls, cand)
+            res_px, res_ok = jax.lax.cond(
+                jnp.any(cand), run, skip, (from_pt, start, lvls, cand)
+            )
+            newly = cand & res_ok
+            matched = matched | newly
+            to_px = jnp.where(newly[:, None], res_px, to_px)
+            return (matched, to_px), None
 
-        def skip(args):
-            from_pt, _, _, _ = args
-            return from_pt, jnp.zeros((NF,), bool)
+        xs_rank = jnp.repeat(jnp.arange(V, dtype=jnp.int32), 2)
+    else:
+        # round-1 path (lanes/klt): global newest-first view walk
+        order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
 
-        # a step with no candidates (retry pass exhausted, stale view slot)
-        # costs one predicate instead of a full tracker sweep
-        res_px, res_ok = jax.lax.cond(
-            jnp.any(cand), run, skip, (from_pt, start, lvls, cand)
-        )
-        newly = cand & res_ok
-        matched = matched | newly
-        to_px = jnp.where(newly[:, None], res_px, to_px)
-        return (matched, to_px), None
+        def find_step(carry, xs):
+            matched, to_px = carry
+            vi, retry_pass = xs
+            view_ok = ms.view_frame[vi] >= 0
+            from_pt = ms.feat_px[:, vi]
+            has = ms.feat_valid[:, vi]
+            pass_ok = jnp.where(
+                retry_pass == 0,
+                jnp.ones((NF,), bool),
+                lvls3 != cfg.levels_unsure,
+            )
+            cand = live & ~matched & view_ok & has & pass_ok
 
-    # per view: pass 0 (uncertainty-scaled levels) then pass 1 (retry at 6)
-    xs_vi = jnp.repeat(order, 2)
+            start = jnp.where(use_pred[:, None], start_pred, from_pt)
+            cand = cand & in_image(start, cfg)
+            lvls = jnp.where(
+                retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
+            ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
+
+            view_levels = _view_pyramid(ms, vi, cfg)
+
+            def run(args):
+                from_pt, start, lvls, cand = args
+
+                def one(fp, st, lv, act):
+                    return tracker.track_bidirectional(
+                        view_levels, new_pyr, fp, st, lv, weight,
+                        cfg.track_threshold, cfg.track_max_iters,
+                        cfg.roundtrip_px, active=act, track_fn=track_fn,
+                    )
+
+                return jax.vmap(one)(from_pt, start, lvls, cand)
+
+            def skip(args):
+                from_pt, _, _, _ = args
+                return from_pt, jnp.zeros((NF,), bool)
+
+            # a step with no candidates (retry pass exhausted, stale view
+            # slot) costs one predicate instead of a full tracker sweep
+            res_px, res_ok = jax.lax.cond(
+                jnp.any(cand), run, skip, (from_pt, start, lvls, cand)
+            )
+            newly = cand & res_ok
+            matched = matched | newly
+            to_px = jnp.where(newly[:, None], res_px, to_px)
+            return (matched, to_px), None
+
+        xs_rank = jnp.repeat(order, 2)
+
+    # per view/rank: pass 0 (uncertainty-scaled levels), pass 1 (retry at 6)
     xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
     (matched, to_px), _ = jax.lax.scan(
         find_step,
         (jnp.zeros((NF,), bool), jnp.zeros((NF, 2), jnp.float32)),
-        (xs_vi, xs_pass),
+        (xs_rank, xs_pass),
     )
 
     # optional CleanDuplicates (matcher.cpp:274-288; the reference codes it

@@ -78,7 +78,7 @@ def _bdot(a, b):
 
 def newton_window_steps(
     win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
-    wmask, width: float, height: float,
+    wmask, bounds,
     threshold: float, max_iters: int, size: int,
 ):
     """Run ``max_iters`` Newton steps for all lanes against per-lane windows.
@@ -89,7 +89,8 @@ def newton_window_steps(
     org        [F, 2] window origin (x, y) in absolute level coords
     ref*       reference patch stack data/valid/mean/sumsq for this level
     active     [F] f32 1/0
-    width/height  true level extents (static floats)
+    bounds     [F, 2] true level extents (w, h) — runtime values so one
+               kernel serves every pyramid level of a given window shape
 
     Returns (pos [F,2], status [F] f32, done [F] f32). Pure jnp — runs
     identically under XLA and inside the Pallas kernel.
@@ -102,6 +103,8 @@ def newton_window_steps(
 
     r_mean = ref_mean
     r_sumsq = ref_sumsq
+    width = bounds[:, 0]
+    height = bounds[:, 1]
 
     def one_iter(state):
         pos, status, done = state
@@ -142,8 +145,8 @@ def newton_window_steps(
         gxi = jax.lax.broadcasted_iota(jnp.int32, (F, S), 1)
         gx = (x0 + org[:, 0].astype(jnp.int32))[:, None] + gxi
         gy = (y0 + org[:, 1].astype(jnp.int32))[:, None] + gxi
-        vx = (gx >= 0) & (gx.astype(jnp.float32) + 1.0 <= width)
-        vy = (gy >= 0) & (gy.astype(jnp.float32) + 1.0 <= height)
+        vx = (gx >= 0) & (gx.astype(jnp.float32) + 1.0 <= width[:, None])
+        vy = (gy >= 0) & (gy.astype(jnp.float32) + 1.0 <= height[:, None])
         valid2 = vy.astype(jnp.float32)[:, :, None] * vx.astype(jnp.float32)[:, None, :]
 
         w2 = wmask[None] * ref_valid * valid2    # [F,S,S]
@@ -245,12 +248,12 @@ def newton_window_steps(
 
 
 def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
-            w_ref, pos_out, st_out, *, width, height, threshold, max_iters,
+            w_ref, bounds_ref, pos_out, st_out, *, threshold, max_iters,
             size):
     pos, status, _ = newton_window_steps(
         win_ref[:], pos_ref[:], org_ref[:], ref_ref[:], rv_ref[:],
         rstat_ref[:, 0], rstat_ref[:, 1], act_ref[:, 0], w_ref[:],
-        width, height, threshold, max_iters, size,
+        bounds_ref[:], threshold, max_iters, size,
     )
     pos_out[:] = pos
     st_out[:] = jnp.stack([status, status], -1)
@@ -258,22 +261,23 @@ def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "threshold", "max_iters", "size",
-                     "backend"),
+    static_argnames=("threshold", "max_iters", "size", "backend"),
 )
 def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
-                 wmask, width, height, threshold=0.001, max_iters=6,
+                 wmask, bounds, threshold=0.001, max_iters=6,
                  size=13, backend="pallas"):
     """Batched per-level Newton refinement. Returns (pos [F,2], status [F]).
 
+    ``bounds`` [F,2]: the level's true (width, height) per lane.
     backend: "pallas" (TPU kernel), "interpret" (kernel in interpreter for
     host tests), "xla" (same math as plain XLA ops).
     """
     active = jnp.asarray(active, jnp.float32)
+    bounds = jnp.asarray(bounds, jnp.float32)
     if backend == "xla":
         pos, status, _ = newton_window_steps(
             win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
-            wmask, float(width), float(height), float(threshold),
+            wmask, bounds, float(threshold),
             int(max_iters), int(size),
         )
         return pos, status
@@ -282,7 +286,7 @@ def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
     S = int(size)
     WH, WW = win.shape[1], win.shape[2]
     kern = functools.partial(
-        _kernel, width=float(width), height=float(height),
+        _kernel,
         threshold=float(threshold), max_iters=int(max_iters), size=S,
     )
     rstat = jnp.stack([ref_mean, ref_sumsq], -1)
@@ -313,11 +317,12 @@ def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
             pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=(backend == "interpret"),
-    )(win, pos0, org, ref, ref_valid, rstat, act2, wmask)
+    )(win, pos0, org, ref, ref_valid, rstat, act2, wmask, bounds)
     return pos, st[:, 0]

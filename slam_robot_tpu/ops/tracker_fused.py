@@ -57,7 +57,9 @@ def _gather_windows(pyr: FlatPyramid, level: int, pos, wh: int, ww: int):
     dims = _static_dims(pyr)
     h, w = dims[level]
     hp, wp = h + 2 * PAD, w + 2 * PAD
-    j = pyr.offset + level
+    # pyr.offset may be a scalar (one pyramid) or per-lane vector (the
+    # matcher's per-lane view pick into the stacked view ring)
+    j = jnp.broadcast_to(jnp.asarray(pyr.offset + level), pos.shape[:1])
 
     p = jnp.clip(jnp.nan_to_num(pos), -1e6, 1e6)
     ox = jnp.clip(
@@ -67,28 +69,57 @@ def _gather_windows(pyr: FlatPyramid, level: int, pos, wh: int, ww: int):
         jnp.floor(p[:, 1]).astype(jnp.int32) - MARGIN_PX + PAD, 0, hp - wh
     )
 
-    def one(oy1, ox1):
-        return lax.dynamic_slice(pyr.data, (j, oy1, ox1), (1, wh, ww))[0]
+    def one(j1, oy1, ox1):
+        return lax.dynamic_slice(pyr.data, (j1, oy1, ox1), (1, wh, ww))[0]
 
-    win = jax.vmap(one)(oy, ox)
+    win = jax.vmap(one)(j, oy, ox)
     org = jnp.stack([ox - PAD, oy - PAD], -1).astype(jnp.float32)
     return win, org
 
 
-def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch, pts,
-                        lvls, weight, threshold: float = 0.001,
+def _extract_refs(ref_pyr: FlatPyramid, level: int, ref_pts, offs, size: int):
+    """Per-lane reference patches for one level: extract at ref_pts / 2^level
+    from ref_pyr (per-lane plane offs + level)."""
+    dims = _static_dims(ref_pyr)
+    h, w = dims[level]
+    scale = jnp.float32(2.0 ** level)
+
+    def one(pt, j):
+        return patch_ops.extract(ref_pyr.data, w, h, pt / scale, size,
+                                 index=j + level)
+
+    return jax.vmap(one)(jnp.clip(jnp.nan_to_num(ref_pts), -1e6, 1e6), offs)
+
+
+def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
+                        pts, lvls, weight, threshold: float = 0.001,
                         max_iters: int = 10, active=None,
-                        backend: str | None = None):
+                        backend: str | None = None,
+                        ref_pyr: FlatPyramid | None = None, ref_pts=None):
     """Batched TrackFeature (hessian.h:243-264): coarse-to-fine cascade with
-    per-lane dynamic level counts. pts [F,2]; patches: stacked per-level
-    Patch with leading axes [F, L]. Returns (pos [F,2], ok [F] bool)."""
+    per-lane dynamic level counts. pts [F,2].
+
+    Reference patches come either precomputed (``patches``: stacked Patch
+    with leading axes [F, L], e.g. the matcher's per-view cache) or are
+    extracted per level from ``ref_pyr`` at ``ref_pts / 2^level`` — only
+    for levels that actually run, which is what the backward pass wants.
+
+    Lane compaction: each level sweep runs at the smallest static lane
+    bucket (32 / 128 / F) that holds its active lanes, so a straggler
+    retry pass or two far-pyramid lanes don't bill the full feature table.
+    Results merge back scatter-free via one-hot matmuls.
+
+    Returns (pos [F,2], ok [F] bool)."""
     backend = backend or default_backend()
-    if max_iters > MARGIN_PX - (weight.shape[0] - 1) // 2:
+    S = int(weight.shape[0])
+    if max_iters > MARGIN_PX - (S - 1) // 2:
         raise ValueError(
             f"max_iters={max_iters} exceeds the {WIN}x{WIN} window's Newton "
-            f"budget ({MARGIN_PX - (weight.shape[0] - 1) // 2}); grow "
+            f"budget ({MARGIN_PX - (S - 1) // 2}); grow "
             "MARGIN_PX/WIN in ops/pallas/newton.py or lower the budget"
         )
+    if patches is None and (ref_pyr is None or ref_pts is None):
+        raise ValueError("need either patches or (ref_pyr, ref_pts)")
     dims = _static_dims(pyr)
     L = pyr.depth
     F = pts.shape[0]
@@ -97,9 +128,18 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch, pts,
         active = jnp.ones((F,), bool)
     active = jnp.asarray(active, bool)
 
+    offs = jnp.broadcast_to(jnp.asarray(pyr.offset), (F,))
+    roffs = (
+        jnp.broadcast_to(jnp.asarray(ref_pyr.offset), (F,))
+        if ref_pyr is not None else jnp.zeros((F,), jnp.int32)
+    )
+
     scale0 = (2.0 ** (lvls - 1)).astype(jnp.float32)
     pos = jnp.asarray(pts, jnp.float32) / scale0[:, None]
     status = jnp.zeros((F,), jnp.float32)
+
+    buckets = [c for c in (32, 128) if c < F] + [F]
+    lane_ids = jnp.arange(F)
 
     for k in range(L):
         i = L - 1 - k
@@ -107,28 +147,68 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch, pts,
         wh, ww = min(WIN, h + 2 * PAD), min(WIN, w + 2 * PAD)
         lvl_on = i <= lvls - 1
         take = lvl_on & (status == 0.0) & active
+        cnt = jnp.sum(take.astype(jnp.int32))
+        bounds_val = jnp.array([float(w), float(h)], jnp.float32)
 
-        def run(args, _i=i, _wh=wh, _ww=ww, _h=h, _w=w):
-            pos, status, take = args
-            win, org = _gather_windows(pyr, _i, pos, _wh, _ww)
-            new_pos, st = newton_level(
-                win, pos, org,
-                patches.data[:, _i], patches.valid[:, _i].astype(jnp.float32),
-                patches.mean[:, _i], patches.sumsq[:, _i],
-                take.astype(jnp.float32), weight,
-                float(_w), float(_h), threshold=float(threshold),
-                max_iters=int(max_iters), size=int(weight.shape[0]),
-                backend=backend,
-            )
-            pos = jnp.where(take[:, None], new_pos, pos)
-            status = jnp.where(take, st, status)
-            return pos, status
+        def run_at(C, _i=i, _wh=wh, _ww=ww):
+            compact = C < F
+
+            def run(args):
+                pos, status, take = args
+                if compact:
+                    sel = jnp.argsort(~take)[:C]  # actives first (stable)
+                else:
+                    sel = lane_ids
+                posC = pos[sel]
+                takeC = take[sel]
+                pyrC = FlatPyramid(pyr.data, pyr.heights, pyr.widths,
+                                   pyr.depth_, offs[sel])
+                win, org = _gather_windows(pyrC, _i, posC, _wh, _ww)
+                if patches is not None:
+                    refd = patches.data[sel, _i]
+                    refv = patches.valid[sel, _i].astype(jnp.float32)
+                    refm = patches.mean[sel, _i]
+                    refs = patches.sumsq[sel, _i]
+                else:
+                    p = _extract_refs(ref_pyr, _i, ref_pts[sel], roffs[sel], S)
+                    refd, refv = p.data, p.valid.astype(jnp.float32)
+                    refm, refs = p.mean, p.sumsq
+                new_posC, stC = newton_level(
+                    win, posC, org, refd, refv, refm, refs,
+                    takeC.astype(jnp.float32), weight,
+                    jnp.broadcast_to(bounds_val, (C, 2)),
+                    threshold=float(threshold), max_iters=int(max_iters),
+                    size=S, backend=backend,
+                )
+                if compact:
+                    # scatter-free merge: one-hot dot (scatters are poison
+                    # in hot loops on TPU — PERF.md). Precision MUST be
+                    # pinned: the TPU's default bf16 matmul inputs quantize
+                    # pixel coordinates (~2 px at x=640).
+                    oh = ((sel[None, :] == lane_ids[:, None]) & takeC[None, :]
+                          ).astype(jnp.float32)
+                    row = jnp.sum(oh, axis=1)
+                    pos = pos * (1.0 - row)[:, None] + jnp.matmul(
+                        oh, new_posC, precision=lax.Precision.HIGHEST
+                    )
+                    status = status * (1.0 - row) + jnp.matmul(
+                        oh, stC, precision=lax.Precision.HIGHEST
+                    )
+                else:
+                    pos = jnp.where(takeC[:, None], new_posC, pos)
+                    status = jnp.where(takeC, stC, status)
+                return pos, status
+
+            return run
 
         def skip(args):
             pos, status, _ = args
             return pos, status
 
-        pos, status = lax.cond(jnp.any(take), run, skip, (pos, status, take))
+        branches = [skip] + [run_at(C) for C in buckets]
+        idx = sum((cnt > jnp.int32(t)).astype(jnp.int32)
+                  for t in [0] + buckets[:-1])
+        pos, status = lax.switch(idx, branches, (pos, status, take))
         if i > 0:
             pos = jnp.where(lvl_on[:, None], pos * 2.0, pos)
 
@@ -158,20 +238,31 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
         active = jnp.ones((F,), bool)
     active = jnp.asarray(active, bool)
 
-    if p1 is None:
-        p1 = get_patch_stacks(pyr_from, from_pt, weight.shape[0])
-    to_pt, ok1 = track_feature_batch(
-        pyr_to, p1, init_to_pt, lvls, weight, threshold, max_iters,
-        active=active, backend=backend,
-    )
+    S = int(weight.shape[0])
+    if p1 is not None:
+        to_pt, ok1 = track_feature_batch(
+            pyr_to, p1, init_to_pt, lvls, weight, threshold, max_iters,
+            active=active, backend=backend,
+        )
+        tex_mean, tex_sumsq = p1.mean[:, 0], p1.sumsq[:, 0]
+    else:
+        to_pt, ok1 = track_feature_batch(
+            pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,
+            active=active, backend=backend, ref_pyr=pyr_from,
+            ref_pts=from_pt,
+        )
+        offs = jnp.broadcast_to(jnp.asarray(pyr_from.offset), (F,))
+        p0 = _extract_refs(pyr_from, 0, from_pt, offs, S)
+        tex_mean, tex_sumsq = p0.mean, p0.sumsq
 
-    p2 = get_patch_stacks(pyr_to, to_pt, weight.shape[0])
+    # backward: reference patches at the forward result in pyr_to, extracted
+    # per level only where the backward cascade actually runs
     back_pt, ok2 = track_feature_batch(
-        pyr_from, p2, from_pt, lvls, weight, threshold, max_iters,
-        active=ok1, backend=backend,
+        pyr_from, None, from_pt, lvls, weight, threshold, max_iters,
+        active=ok1, backend=backend, ref_pyr=pyr_to, ref_pts=to_pt,
     )
 
-    textured = (p1.sumsq[:, 0] - p1.mean[:, 0] ** 2) >= min_variance
+    textured = (tex_sumsq - tex_mean ** 2) >= min_variance
     dist = jnp.linalg.norm(from_pt - back_pt, axis=-1)
     ok = ok1 & ok2 & textured & (dist <= roundtrip_px)
     return to_pt, ok

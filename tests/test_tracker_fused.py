@@ -37,7 +37,7 @@ def test_hand_derivatives_match_autodiff(rng):
 
     got, _ = newton.newton_level(
         win, pos0, org, ref, rv, rmean, rss, jnp.ones((5,)), WEIGHT,
-        width=32.0, height=32.0, threshold=1e-9, max_iters=1, backend="xla",
+        jnp.full((5, 2), 32.0), threshold=1e-9, max_iters=1, backend="xla",
     )
 
     # reference: autodiff of the identical window score
@@ -134,8 +134,9 @@ def test_kernel_interpret_matches_xla(rng):
     org = jnp.zeros((8, 2), jnp.float32)
     rv = jnp.ones((8, 13, 13), jnp.float32)
     args = (win, pos0, org, ref, rv, jnp.mean(ref, axis=(1, 2)),
-            jnp.mean(ref * ref, axis=(1, 2)), jnp.ones((8,)), WEIGHT)
-    kw = dict(width=32.0, height=32.0, max_iters=3)
+            jnp.mean(ref * ref, axis=(1, 2)), jnp.ones((8,)), WEIGHT,
+            jnp.full((8, 2), 32.0))
+    kw = dict(max_iters=3)
     px, sx = newton.newton_level(*args, backend="xla", **kw)
     pi, si = newton.newton_level(*args, backend="interpret", **kw)
     np.testing.assert_allclose(np.asarray(px), np.asarray(pi), atol=1e-5)
