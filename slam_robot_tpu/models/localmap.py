@@ -277,10 +277,10 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
 # flag evidence (CheckFlags, localmap.cpp:44-84) — clear-only
 # ---------------------------------------------------------------------------
 
-def _ring_gather(state: MapState, field):
-    """Gather a per-obs field into per-point ring order [P, R] with validity.
+def _ring_rows(state: MapState):
+    """Per-point ring rows in age order: (idx [P,R], ok [P,R]).
 
-    Ring order is age order: j=0 is the oldest retained observation.
+    j=0 is the oldest retained observation.
     """
     P, R = state.point_obs.shape
     total = state.point_obs_total
@@ -289,8 +289,61 @@ def _ring_gather(state: MapState, field):
     slots = jnp.mod(total[:, None] - cnt[:, None] + ages, R)
     idx = jnp.take_along_axis(state.point_obs, slots, axis=1)
     ok = (ages < cnt[:, None]) & (idx >= 0)
+    return idx, ok
+
+
+def _rows_gather(idx, fields):
+    """ONE packed gather of several per-row fields at rows ``idx`` [P,R].
+
+    TPU gathers are latency-bound per row, so k separate [P,R] gathers cost
+    ~k times one packed [P,R,K] gather. Fields are [O] or [O,k]; returns a
+    list of [P,R(,k)] f32 arrays (cast back by the caller as needed).
+    """
+    cols = []
+    widths = []
+    for f in fields:
+        f2 = f.reshape(f.shape[0], -1).astype(jnp.float32)
+        cols.append(f2)
+        widths.append(f2.shape[1])
+    packed = jnp.concatenate(cols, axis=1)  # [O, K]
+    vals = packed[idx.clip(0)]              # [P, R, K]
+    out = []
+    o = 0
+    for f, k in zip(fields, widths):
+        v = vals[..., o:o + k]
+        out.append(v[..., 0] if f.ndim == 1 else v)
+        o += k
+    return out
+
+
+def _ring_gather(state: MapState, field):
+    """Gather a per-obs field into per-point ring order [P, R] with validity.
+
+    Ring order is age order: j=0 is the oldest retained observation.
+    Prefer _ring_rows + _rows_gather when several fields are needed.
+    """
+    idx, ok = _ring_rows(state)
     vals = field[idx.clip(0)]
     return vals, ok, idx
+
+
+def _refresh_flags_from(flags, good, pos, min_baseline: float = 50.0):
+    """Flag-evidence core given pre-gathered ring data: ``good`` [P,R]
+    enabled+valid mask, ``pos`` [P,R,3] observing-frame positions."""
+    n_good = jnp.sum(good, axis=1)
+    clear_no_obs = n_good >= 2
+
+    # first enabled obs per point = base
+    first_j = jnp.argmax(good, axis=1)
+    has_base = jnp.any(good, axis=1)
+    base = jnp.take_along_axis(pos, first_j[:, None, None], axis=1)[:, 0]
+    dist = jnp.linalg.norm(pos - base[:, None, :], axis=-1)
+    later = good & (jnp.arange(good.shape[1])[None, :] > first_j[:, None])
+    clear_no_base = has_base & jnp.any(later & (dist >= min_baseline), axis=1)
+
+    flags = jnp.where(clear_no_obs, flags & ~NO_OBSERVATIONS, flags)
+    flags = jnp.where(clear_no_base, flags & ~NO_BASELINE, flags)
+    return flags
 
 
 def refresh_flags(state: MapState, min_baseline: float = 50.0) -> MapState:
@@ -300,25 +353,14 @@ def refresh_flags(state: MapState, min_baseline: float = 50.0) -> MapState:
     - an enabled observation whose frame is >= 50mm from the *first* enabled
       observation's frame clears NO_BASELINE (localmap.cpp:62-83)
     """
-    enabled, ok, _ = _ring_gather(state, ~state.obs_disabled)
-    frames, _, _ = _ring_gather(state, state.obs_frame)
-    good = ok & enabled
-
-    n_good = jnp.sum(good, axis=1)
-    clear_no_obs = n_good >= 2
-
+    idx, ok = _ring_rows(state)
+    enabledf, framesf = _rows_gather(
+        idx, [~state.obs_disabled, state.obs_frame]
+    )
+    good = ok & (enabledf > 0.5)
+    frames = framesf.astype(jnp.int32)
     pos = state.frame_trans[frames.clip(0)]  # [P, R, 3]
-    # first enabled obs per point = base
-    first_j = jnp.argmax(good, axis=1)
-    has_base = jnp.any(good, axis=1)
-    base = jnp.take_along_axis(pos, first_j[:, None, None], axis=1)[:, 0]
-    dist = jnp.linalg.norm(pos - base[:, None, :], axis=-1)
-    later = good & (jnp.arange(good.shape[1])[None, :] > first_j[:, None])
-    clear_no_base = has_base & jnp.any(later & (dist >= min_baseline), axis=1)
-
-    flags = state.point_flags
-    flags = jnp.where(clear_no_obs, flags & ~NO_OBSERVATIONS, flags)
-    flags = jnp.where(clear_no_base, flags & ~NO_BASELINE, flags)
+    flags = _refresh_flags_from(state.point_flags, good, pos, min_baseline)
     return state._replace(point_flags=flags)
 
 
@@ -516,15 +558,21 @@ def clean(state: MapState, error_threshold: float = 5.0, cfg: SlamConfig | None 
     )
     state = state._replace(point_loc=loc)
 
-    # ring gathers
-    errs2, ok, _ridx = _ring_gather(state, state.obs_err)
-    frames, _, _ = _ring_gather(state, state.obs_frame)
-    enabled, _, ring_rows = _ring_gather(state, ~state.obs_disabled)
+    # ring gathers — one packed gather for all per-obs fields
+    ring_rows, ok = _ring_rows(state)
+    errs2, framesf, enabledf = _rows_gather(
+        ring_rows, [state.obs_err, state.obs_frame, ~state.obs_disabled]
+    )
+    frames = framesf.astype(jnp.int32)
+    enabled = enabledf > 0.5
     errn = jnp.linalg.norm(errs2, axis=-1)  # [P, R]
 
     # 2. too-close-to-camera test over all cached obs of usable points
-    fq = state.frame_quat[frames.clip(0)]
-    ft = state.frame_trans[frames.clip(0)]
+    # (one packed [P,R,7] frame gather instead of separate quat/trans)
+    fpose = jnp.concatenate([state.frame_quat, state.frame_trans], axis=1)
+    fpr = fpose[frames.clip(0)]
+    fq = fpr[..., :4]
+    ft = fpr[..., 4:]
     pos = state.point_position()[:, None, :]
     z = quat.rotate(fq, pos - ft)[..., 2]
     new_bad_loc = usable & jnp.any(ok & (z < cfg.close_point_z), axis=1)
@@ -555,11 +603,13 @@ def clean(state: MapState, error_threshold: float = 5.0, cfg: SlamConfig | None 
     flags = jnp.where(any_disabled_pt, flags | MISMATCHED, flags)
     flags = jnp.where(new_bad_feat, flags | BAD_FEATURE, flags)
 
-    # 5. re-derive evidence flags for changed points
+    # 5. re-derive evidence flags for changed points — reusing this call's
+    # ring/pose gathers (the disable mask updates `enabled` in place)
     changed = new_bad_loc | any_disabled_pt | new_bad_feat
     flags = jnp.where(changed, flags | NO_OBSERVATIONS | NO_BASELINE, flags)
+    good = ok & enabled & ~to_disable
+    flags = _refresh_flags_from(flags, good, ft)
     state = state._replace(point_flags=flags, point_uncertainty=unc)
-    state = refresh_flags(state)
     return state, all_ok
 
 
@@ -582,9 +632,9 @@ def apply_epipolar_constraint(state: MapState, cfg: SlamConfig | None = None) ->
     cnt = state.point_ring_count()
     total = state.point_obs_total
 
-    enabled, ok, ring_rows = _ring_gather(state, ~state.obs_disabled)
-    frames, _, _ = _ring_gather(state, state.obs_frame)
-    pxs, _, _ = _ring_gather(state, state.obs_px)
+    ring_rows, ok = _ring_rows(state)
+    (enabledf,) = _rows_gather(ring_rows, [~state.obs_disabled])
+    enabled = enabledf > 0.5
 
     ages = jnp.arange(R)[None, :]
     last_j = cnt - 1  # ring position of observation(-1)
@@ -598,11 +648,19 @@ def apply_epipolar_constraint(state: MapState, cfg: SlamConfig | None = None) ->
         return jnp.take_along_axis(arr, j[:, None], axis=1)[:, 0]
 
     j1 = jnp.maximum(last_j, 0)
-    f1 = take(frames, j1)
-    f2 = take(frames, j2)
-    px1 = jnp.take_along_axis(pxs, j1[:, None, None], axis=1)[:, 0]
-    px2 = jnp.take_along_axis(pxs, j2[:, None, None], axis=1)[:, 0]
     row1 = take(ring_rows, j1)
+    row2 = take(ring_rows, j2)
+    # only the two selected obs per point need their fields: two [P]-row
+    # packed gathers instead of three full [P,R] ring gathers
+    opack = jnp.concatenate(
+        [state.obs_frame[:, None].astype(jnp.float32), state.obs_px], axis=1
+    )
+    o1 = opack[row1.clip(0)]
+    o2 = opack[row2.clip(0)]
+    f1 = o1[:, 0].astype(jnp.int32)
+    f2 = o2[:, 0].astype(jnp.int32)
+    px1 = o1[:, 1:]
+    px2 = o2[:, 1:]
 
     eligible = (
         state.point_mask

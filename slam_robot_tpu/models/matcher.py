@@ -201,16 +201,20 @@ def track(
             def run(args):
                 from_pt, start, lvls, cand = args
                 lanes = jnp.arange(NF)
+                # whole unsliced cache + per-lane view index: only the
+                # compacted lanes gather patch rows inside the cascade
                 p1 = patch_ops.Patch(
-                    data=ms.feat_patch[lanes, vi_lane],
-                    valid=ms.feat_pvalid[lanes, vi_lane],
-                    mean=ms.feat_pstats[lanes, vi_lane, :, 0],
-                    sumsq=ms.feat_pstats[lanes, vi_lane, :, 1],
+                    data=ms.feat_patch,
+                    valid=ms.feat_pvalid,
+                    mean=ms.feat_pstats[..., 0],
+                    sumsq=ms.feat_pstats[..., 1],
                 )
+                stats0 = ms.feat_pstats[lanes, vi_lane, 0]  # [NF, 2]
                 return tracker_fused.track_bidirectional_batch(
                     view_levels, new_pyr, from_pt, start, lvls, weight,
                     cfg.track_threshold, cfg.track_max_iters,
                     cfg.roundtrip_px, active=cand, p1=p1,
+                    p1_view_idx=vi_lane, p1_stats0=stats0,
                 )
 
             def skip(args):

@@ -95,12 +95,15 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                         pts, lvls, weight, threshold: float = 0.001,
                         max_iters: int = 10, active=None,
                         backend: str | None = None,
-                        ref_pyr: FlatPyramid | None = None, ref_pts=None):
+                        ref_pyr: FlatPyramid | None = None, ref_pts=None,
+                        patches_view_idx=None):
     """Batched TrackFeature (hessian.h:243-264): coarse-to-fine cascade with
     per-lane dynamic level counts. pts [F,2].
 
     Reference patches come either precomputed (``patches``: stacked Patch
-    with leading axes [F, L], e.g. the matcher's per-view cache) or are
+    with leading axes [F, L] — or [F, V, L] with ``patches_view_idx`` [F]
+    selecting each lane's view, so the matcher's whole per-view cache is
+    passed unsliced and only the compacted lanes gather rows) or are
     extracted per level from ``ref_pyr`` at ``ref_pts / 2^level`` — only
     for levels that actually run, which is what the backward pass wants.
 
@@ -165,10 +168,17 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                                    pyr.depth_, offs[sel])
                 win, org = _gather_windows(pyrC, _i, posC, _wh, _ww)
                 if patches is not None:
-                    refd = patches.data[sel, _i]
-                    refv = patches.valid[sel, _i].astype(jnp.float32)
-                    refm = patches.mean[sel, _i]
-                    refs = patches.sumsq[sel, _i]
+                    if patches_view_idx is not None:
+                        vsel = patches_view_idx[sel]
+                        refd = patches.data[sel, vsel, _i]
+                        refv = patches.valid[sel, vsel, _i].astype(jnp.float32)
+                        refm = patches.mean[sel, vsel, _i]
+                        refs = patches.sumsq[sel, vsel, _i]
+                    else:
+                        refd = patches.data[sel, _i]
+                        refv = patches.valid[sel, _i].astype(jnp.float32)
+                        refm = patches.mean[sel, _i]
+                        refs = patches.sumsq[sel, _i]
                 else:
                     p = _extract_refs(ref_pyr, _i, ref_pts[sel], roffs[sel], S)
                     refd, refv = p.data, p.valid.astype(jnp.float32)
@@ -226,7 +236,8 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               roundtrip_px: float = 0.3,
                               min_variance: float = 1e-5,
                               active=None, backend: str | None = None,
-                              p1: patch_ops.Patch | None = None):
+                              p1: patch_ops.Patch | None = None,
+                              p1_view_idx=None, p1_stats0=None):
     """Batched forward/backward consistency tracking (matcher.cpp:173-206)
     with the fused level kernel; mirrors ops/tracker.track_bidirectional.
 
@@ -242,9 +253,16 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     if p1 is not None:
         to_pt, ok1 = track_feature_batch(
             pyr_to, p1, init_to_pt, lvls, weight, threshold, max_iters,
-            active=active, backend=backend,
+            active=active, backend=backend, patches_view_idx=p1_view_idx,
         )
-        tex_mean, tex_sumsq = p1.mean[:, 0], p1.sumsq[:, 0]
+        if p1_stats0 is not None:
+            tex_mean, tex_sumsq = p1_stats0[:, 0], p1_stats0[:, 1]
+        elif p1_view_idx is not None:
+            lanes = jnp.arange(F)
+            tex_mean = p1.mean[lanes, p1_view_idx, 0]
+            tex_sumsq = p1.sumsq[lanes, p1_view_idx, 0]
+        else:
+            tex_mean, tex_sumsq = p1.mean[:, 0], p1.sumsq[:, 0]
     else:
         to_pt, ok1 = track_feature_batch(
             pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,
