@@ -80,8 +80,15 @@ class SlamConfig:
     slow_first_n: int = 10
     ba_range: float = 2.0              # CauchyLoss scale (main.cpp:582,593)
     ba_max_iters: int = 50             # ref allows 1000 (slam.cpp:493); GN needs far fewer
-    ba_iters_fast: int = 8             # per-frame window (2,5): warm-started
-    ba_iters_slow: int = 15            # periodic window (10,20)
+    ba_iters_fast: int = 20            # per-frame window (2,5). LM exits on
+                                       # ftol/stall, so converged windows
+                                       # stop early anyway; the round-1 caps
+                                       # (8/15) silently UNDER-CONVERGED the
+                                       # weakly-observable forward motion —
+                                       # 8.7% -> 0.9% trajectory ATE at
+                                       # 20/30 (the "windowed drift" wasn't
+                                       # window myopia at all)
+    ba_iters_slow: int = 30            # periodic window (10,20)
     window_obs_fast: int = 1024        # obs tail slice for the fast window
     ba_ftol: float = 1e-7              # slam.cpp:494
     ba_ftol_fine: float = 1e-9         # slam.cpp:498
@@ -94,6 +101,11 @@ class SlamConfig:
     cheirality_eps: float = 0.001      # project.h:27
     window_obs: int = 4096             # obs-table tail slice for window BA
                                        # (covers >= 20 frames x 120 obs)
+    reproject_window: int = 4096       # maintenance reproject tail rows
+                                       # (0 = full table, the reference's
+                                       # exact ReprojectMap; older rows'
+                                       # errors only change when their
+                                       # point moves under a free frame)
 
     # ---- optional behaviors (declared but unwired in the reference) ----
     motion_model: str = "copy"         # "copy" (ref, main.cpp:550-552) |

@@ -493,16 +493,36 @@ def check_not_moving(state: MapState, d2_threshold: float = 5.0) -> MapState:
 # reproject (slam.cpp:523-548)
 # ---------------------------------------------------------------------------
 
-def reproject(state: MapState, cheirality_eps: float = 0.001) -> tuple[MapState, jnp.ndarray]:
-    """Recompute every observation's reprojection error; return (state, mean).
+def reproject(state: MapState, cheirality_eps: float = 0.001,
+              window: int | None = None) -> tuple[MapState, jnp.ndarray]:
+    """Recompute observation reprojection errors; return (state, mean).
 
     Matches Slam::ReprojectMap: error = projected - observed for every row of
     the obs table (enabled or not); rows whose point fails the cheirality
     test keep error = observed pixel and are excluded from the mean
     (slam.cpp:529-545).
+
+    ``window`` limits the recompute to the newest ``window`` rows of the obs
+    table (the same tail-slice trick window BA uses): only free frames and
+    the points they see move between maintenance passes, so older rows'
+    cached errors are already current in steady state. None = full table
+    (the reference's exact behavior; run_replay's final pass uses it).
     """
-    f = state.obs_frame.clip(0)
-    p = state.obs_point.clip(0)
+    O = state.obs_frame.shape[0]
+    if window is not None and window < O:
+        start = jnp.maximum(state.n_obs - window, 0)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, window, 0)
+        obs_frame = sl(state.obs_frame)
+        obs_point = sl(state.obs_point)
+        obs_px = sl(state.obs_px)
+        obs_mask_w = sl(state.obs_mask)
+    else:
+        start = jnp.int32(0)
+        obs_frame, obs_point = state.obs_frame, state.obs_point
+        obs_px, obs_mask_w = state.obs_px, state.obs_mask
+
+    f = obs_frame.clip(0)
+    p = obs_point.clip(0)
     q = state.frame_quat[f]
     t = state.frame_trans[f]
     k = state.cam_k[state.frame_cam[f]]
@@ -510,14 +530,21 @@ def reproject(state: MapState, cheirality_eps: float = 0.001) -> tuple[MapState,
     px, valid = jax.vmap(proj.project_point, in_axes=(0, 0, 0, 0, None))(
         q, t, k, loc, cheirality_eps
     )
-    active = state.obs_mask
-    err = jnp.where((valid & active)[:, None], px - state.obs_px, state.obs_px)
+    active = obs_mask_w
+    err = jnp.where((valid & active)[:, None], px - obs_px, obs_px)
     counted = valid & active
     norms = jnp.linalg.norm(err, axis=-1)
     mean = jnp.sum(jnp.where(counted, norms, 0.0)) / jnp.maximum(
         jnp.sum(counted.astype(jnp.float32)), 1.0
     )
-    return state._replace(obs_err=jnp.where(active[:, None], err, state.obs_err)), mean
+    if window is not None and window < O:
+        new_err = jnp.where(active[:, None], err, sl(state.obs_err))
+        obs_err = jax.lax.dynamic_update_slice_in_dim(
+            state.obs_err, new_err, start, 0
+        )
+    else:
+        obs_err = jnp.where(active[:, None], err, state.obs_err)
+    return state._replace(obs_err=obs_err), mean
 
 
 # ---------------------------------------------------------------------------

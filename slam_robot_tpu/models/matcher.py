@@ -350,8 +350,14 @@ def track(
         locs = jax.vmap(proj.unproject, in_axes=(None, None, 0, None))(
             fq, ft, plane, cfg.seed_depth_mm
         )
+        # free slots of features with no stored match in any live view:
+        # with the oldest view just recycled they can never match again
+        # (the reference's features die the same way once every view
+        # holding them leaves the <=4-deep deque, matcher.cpp:397-402)
+        trackable = jnp.any(feat_valid, axis=1)
+        feat_point_live = jnp.where(trackable, ms.feat_point, -1)
         # assign to free feature slots
-        free = ms.feat_point < 0
+        free = feat_point_live < 0
         slot_order = jnp.argsort(~free)  # free slots first (stable)
         n_free = jnp.sum(free.astype(jnp.int32))
         kk = cpts.shape[0]
@@ -363,7 +369,7 @@ def track(
         map_state = lm.add_observations(map_state, frame_idx, pids, cpts, assign)
 
         sdest = jnp.where(assign, dest, NF)  # OOB drops
-        feat_point = ms.feat_point.at[sdest].set(pids, mode="drop")
+        feat_point = feat_point_live.at[sdest].set(pids, mode="drop")
         feat_px = feat_px.at[sdest, slot].set(cpts, mode="drop")
         feat_valid = feat_valid.at[sdest].set(False, mode="drop")
         feat_valid = feat_valid.at[sdest, slot].set(True, mode="drop")

@@ -90,12 +90,14 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     metrics["frame_id"] = frame_idx
 
     if run_slam:
+        rw = cfg.reproject_window or None
+
         def do_slam(m):
             m, res_fast = slam.solve_frames(
                 m, cfg.solve_fast[0], cfg.solve_fast[1], cfg.ba_range, cfg,
                 max_iters=cfg.ba_iters_fast, window_obs=cfg.window_obs_fast,
             )
-            m, _ = lm.reproject(m, cfg.cheirality_eps)
+            m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
 
             def after_fast(m):
                 m, _ok = lm.clean(m, cfg.error_threshold, cfg)
@@ -113,7 +115,7 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                     m, cfg.solve_slow[0], cfg.solve_slow[1], cfg.ba_range, cfg,
                     max_iters=cfg.ba_iters_slow,
                 )
-                m, _ = lm.reproject(m, cfg.cheirality_eps)
+                m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
                 m, _ok = lm.clean(m, cfg.error_threshold, cfg)
                 return m, res
 
@@ -125,9 +127,9 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
 
             m = lm.apply_epipolar_constraint(m, cfg)
 
-            m, err1 = lm.reproject(m, cfg.cheirality_eps)
+            m, err1 = lm.reproject(m, cfg.cheirality_eps, window=rw)
             m = lm.normalize(m)
-            m, err2 = lm.reproject(m, cfg.cheirality_eps)
+            m, err2 = lm.reproject(m, cfg.cheirality_eps, window=rw)
             if cfg.drop_idle_frames:
                 # the reference declares but never calls this
                 # (localmap.cpp:173-187); opt-in behavior
