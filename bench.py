@@ -41,7 +41,7 @@ def main() -> None:
     # set — judged misleading; this one earns the label). The world is a
     # 360-degree ring of landmarks so every heading faces fresh texture.
     rng = np.random.default_rng(0)
-    n_world = 8000
+    n_world = 14000
     ang = rng.uniform(0, 2 * np.pi, n_world)
     rad = rng.uniform(2500.0, 9000.0, n_world)
     wx = rad * np.sin(ang)
@@ -52,15 +52,23 @@ def main() -> None:
     )
     bright = jnp.asarray(rng.uniform(0.35, 0.75, n_world).astype(np.float32))
 
-    n_warm = 48    # eager bootstrap: build the map over the first sweep half
-    n_timed_frames = 48  # timed scan: the CONTINUATION of the sweep
+    n_warm = 96    # eager bootstrap: a brisk sweep builds the map
+    n_timed_frames = 64  # timed scan: the sweep's CONTINUATION
     n_frames = n_warm + n_timed_frames
+
+    def sweep_pose(i):
+        # warm phase yaws briskly to populate the map (~82 deg); the timed
+        # continuation runs at the reference's slow-robot per-frame motion
+        pair = i // 2
+        yaw = 0.03 * min(pair, 48) + 0.02 * max(pair - 48, 0)
+        t = np.array([150.0 * (i % 2), 0.0, 10.0 * pair], np.float32)
+        return yaw, t
+
     frames = []
     for i in range(n_frames):
-        pair = i // 2
-        yaw = 0.03 * pair  # ~82 deg total sweep: continuous re-seeding
+        yaw, tnp = sweep_pose(i)
         q = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw)
-        t = jnp.array([150.0 * (i % 2), 0.0, 8.0 * pair])
+        t = jnp.asarray(tnp)
         frames.append(
             renderer.render(q, t, k, world, bright,
                             height=cfg.image_height, width=cfg.image_width)
@@ -124,10 +132,7 @@ def main() -> None:
     dis = np.asarray(m2.obs_disabled[:n_obs_final])
     median_err = float(np.median(errn[~dis])) if (~dis).any() else 0.0
     nf = int(m2.n_frames)
-    true_t = np.stack(
-        [np.array([150.0 * (i % 2), 0.0, 8.0 * (i // 2)], np.float32)
-         for i in range(nf)]
-    )
+    true_t = np.stack([sweep_pose(i)[1] for i in range(nf)])
     est_t = np.asarray(m2.frame_trans[:nf])
     ate = float(np.sqrt(((est_t - true_t) ** 2).sum(1)).mean())
     path = float(np.linalg.norm(true_t[-1] - true_t[0]))

@@ -293,9 +293,9 @@ def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
     act2 = jnp.stack([active, active], -1)
 
     # block the lane axis: one whole-F program needs ~40MB of scoped VMEM
-    # for the Newton body's temporaries (> the 16MB budget); 32-lane blocks
-    # stay ~5MB and the grid pipelines block loads against compute
-    bf = min(32, F)
+    # for the Newton body's temporaries (> the 16MB budget); 64-lane blocks
+    # stay ~10MB and the grid pipelines block loads against compute
+    bf = min(64, F)
     grid = (pl.cdiv(F, bf),)
 
     def at_f(i):

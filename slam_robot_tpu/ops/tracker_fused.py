@@ -141,7 +141,7 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
     pos = jnp.asarray(pts, jnp.float32) / scale0[:, None]
     status = jnp.zeros((F,), jnp.float32)
 
-    buckets = [c for c in (32, 128) if c < F] + [F]
+    buckets = [c for c in (32, 64, 128) if c < F] + [F]
     lane_ids = jnp.arange(F)
 
     for k in range(L):
