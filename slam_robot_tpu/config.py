@@ -108,6 +108,13 @@ class SlamConfig:
                                        # point moves under a free frame)
 
     # ---- optional behaviors (declared but unwired in the reference) ----
+    mid_frame_resolve: bool = False    # matches<40 -> epipolar pose
+                                       # re-solve + re-match before
+                                       # keyframing (matcher.cpp:338-346;
+                                       # dead in the reference because
+                                       # SolveFramePose returns false,
+                                       # slam.cpp:182 — this enables the
+                                       # INTENDED behavior)
     motion_model: str = "copy"         # "copy" (ref, main.cpp:550-552) |
                                        # "constant_velocity" (the intended
                                        # EstimateMotion, localmap.h:300)

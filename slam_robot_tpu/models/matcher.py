@@ -135,11 +135,17 @@ def track(
     k = map_state.cam_k[camera_idx]
     unc = map_state.point_uncertainty[pt_idx.clip(0)]
     loc = map_state.point_loc[pt_idx.clip(0)]
-    pred_px, pred_ok = jax.vmap(proj.project_point, in_axes=(None, None, None, 0))(
-        fq, ft, k, loc
-    )
     lvls3 = jnp.where(unc > cfg.uncertainty_confident, cfg.levels_unsure,
                       cfg.levels_confident).astype(jnp.int32)
+
+    def predictions(fq_, ft_):
+        """Predicted start locations from projecting each feature's point
+        (matcher.cpp:233-239); used where uncertainty < 100."""
+        pred_px, pred_ok = jax.vmap(
+            proj.project_point, in_axes=(None, None, None, 0)
+        )(fq_, ft_, k, loc)
+        use = (unc < cfg.uncertainty_confident) & pred_ok
+        return jnp.where(use[:, None], pred_px, 0.0), use
 
     # 2. FindMatches: walk stored views newest-first with a 6-level retry
     #    pass per view (matcher.cpp:221-269, 248), as one lax.scan so the
@@ -148,10 +154,7 @@ def track(
     #    steady state most features match on the first view — a fully
     #    parallel (feature x view x pass) batch was measured 10x slower
     #    because it pays for every stored view every frame (PERF.md).
-    start_pred = jnp.where(
-        ((unc < cfg.uncertainty_confident) & pred_ok)[:, None], pred_px, 0.0
-    )
-    use_pred = (unc < cfg.uncertainty_confident) & pred_ok
+    start_pred, use_pred = predictions(fq, ft)
 
     if cfg.tracker_kind == "klt":
         from slam_robot_tpu.ops import klt as _klt
@@ -178,7 +181,8 @@ def track(
         lane_order = jnp.argsort(-key, axis=1)          # [NF, V] view idx
         key_sorted = jnp.take_along_axis(key, lane_order, axis=1)
 
-        def find_step(carry, xs):
+        def make_find_step(start_pred, use_pred):
+          def find_step(carry, xs):
             matched, to_px = carry
             rank, retry_pass = xs
             vi_lane = lane_order[:, rank]               # [NF]
@@ -229,12 +233,15 @@ def track(
             to_px = jnp.where(newly[:, None], res_px, to_px)
             return (matched, to_px), None
 
+          return find_step
+
         xs_rank = jnp.repeat(jnp.arange(V, dtype=jnp.int32), 2)
     else:
         # round-1 path (lanes/klt): global newest-first view walk
         order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
 
-        def find_step(carry, xs):
+        def make_find_step(start_pred, use_pred):
+          def find_step(carry, xs):
             matched, to_px = carry
             vi, retry_pass = xs
             view_ok = ms.view_frame[vi] >= 0
@@ -281,14 +288,24 @@ def track(
             to_px = jnp.where(newly[:, None], res_px, to_px)
             return (matched, to_px), None
 
+          return find_step
+
         xs_rank = jnp.repeat(order, 2)
 
     # per view/rank: pass 0 (uncertainty-scaled levels), pass 1 (retry at 6)
     xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
-    (matched, to_px), _ = jax.lax.scan(
-        find_step,
-        (jnp.zeros((NF,), bool), jnp.zeros((NF, 2), jnp.float32)),
-        (xs_rank, xs_pass),
+
+    def run_find(matched0, to_px0, start_pred_, use_pred_):
+        (matched, to_px), _ = jax.lax.scan(
+            make_find_step(start_pred_, use_pred_),
+            (matched0, to_px0),
+            (xs_rank, xs_pass),
+        )
+        return matched, to_px
+
+    matched, to_px = run_find(
+        jnp.zeros((NF,), bool), jnp.zeros((NF, 2), jnp.float32),
+        start_pred, use_pred,
     )
 
     # optional CleanDuplicates (matcher.cpp:274-288; the reference codes it
@@ -316,6 +333,37 @@ def track(
     # 3. write observations (matcher.cpp:255-257)
     map_state = lm.add_observations(map_state, frame_idx, pt_idx, to_px, matched)
     n_matches = jnp.sum(matched.astype(jnp.int32))
+
+    # optional mid-frame pose re-solve (matcher.cpp:338-346): the reference
+    # codes this retry but its Slam::SolveFramePose is dead (unconditional
+    # `return false`, slam.cpp:182). Behind cfg.mid_frame_resolve the
+    # INTENDED behavior runs: matches < 40 -> re-solve the newest frame's
+    # pose from epipolar constraints, re-predict, re-run FindMatches for
+    # the still-unmatched lanes, and only then decide on a keyframe.
+    resolve_fired = jnp.bool_(False)
+    if cfg.mid_frame_resolve:
+        from slam_robot_tpu.models import slam as slam_mod
+
+        def resolve_branch(args):
+            map_state, matched, to_px = args
+            map2, okp = slam_mod.solve_frame_pose_epipolar(map_state, cfg)
+            sp2, up2 = predictions(
+                map2.frame_quat[frame_idx], map2.frame_trans[frame_idx]
+            )
+            matched2, to_px2 = run_find(matched, to_px, sp2, up2)
+            newly = matched2 & ~matched
+            map2 = lm.add_observations(map2, frame_idx, pt_idx, to_px2, newly)
+            return map2, matched2, to_px2, okp
+
+        def no_resolve(args):
+            map_state, matched, to_px = args
+            return map_state, matched, to_px, jnp.bool_(False)
+
+        map_state, matched, to_px, resolve_fired = jax.lax.cond(
+            n_matches < cfg.min_matches, resolve_branch, no_resolve,
+            (map_state, matched, to_px),
+        )
+        n_matches = jnp.sum(matched.astype(jnp.int32))
 
     # 4. keyframe branch (matcher.cpp:353-402)
     is_kf = n_matches < cfg.min_matches
@@ -413,5 +461,6 @@ def track(
         "n_matches": n_matches,
         "n_added": n_added,
         "is_keyframe": is_kf,
+        "resolve_fired": resolve_fired,
     }
     return ms, map_state, metrics

@@ -184,3 +184,58 @@ def test_in_image_bounds_half_open():
     ])
     got = np.asarray(in_image(pts, CFG))
     np.testing.assert_array_equal(got, [True, True, False, False, True])
+
+
+def test_mid_frame_resolve_recovers_perturbed_pose():
+    """cfg.mid_frame_resolve: a frame whose pose init is badly perturbed
+    first under-matches, then the epipolar pose re-solve + re-match
+    recovers enough matches to avoid keyframing (the INTENDED
+    matcher.cpp:338-346 behavior; dead in the reference)."""
+    import dataclasses
+
+    from slam_robot_tpu.models import localmap as lm
+    from slam_robot_tpu.ops import quaternion as quat
+
+    # min_matches high enough that the perturbed frame under-matches
+    cfg_off = dataclasses.replace(CFG, min_matches=25)
+    cfg_on = dataclasses.replace(cfg_off, mid_frame_resolve=True)
+
+    # build a healthy two-frame state (with the default keyframe gate)
+    ms, s = fresh()
+    img0 = texture(0)
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(img0), f0, 0, CFG)
+    assert int(m0["n_added"]) > 10
+    img1 = shift(img0, 2, 1)
+    s, f1 = lm.add_frame(s, 1)
+    ms, s, m1 = matcher.track(ms, s, jnp.asarray(img1), f1, 1, CFG)
+    assert int(m1["n_matches"]) >= cfg_off.min_matches
+
+    # make half the points 'confident' so their tracks start from the
+    # (perturbed) pose prediction; the rest keep uncertainty 1e8 and track
+    # from stored positions, providing the epipolar pairs the re-solver
+    # needs (>= 8, slam.cpp:222-225)
+    import numpy as np
+    P = s.point_uncertainty.shape[0]
+    conf = jnp.where(jnp.arange(P) % 2 == 0, 50.0, s.point_uncertainty)
+    s = s._replace(point_uncertainty=conf)
+
+    # third frame with a badly perturbed rotation init: predictions are
+    # far off, confident 3-level tracks fail
+    img2 = shift(img0, 4, 2)
+    bad_q = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), 0.30)
+    s2, f2 = lm.add_frame(s, 0, bad_q, s.frame_trans[f0])
+
+    _, _, m_off = matcher.track(ms, s2, jnp.asarray(img2), f2, 0, cfg_off)
+    _, _, m_on = matcher.track(ms, s2, jnp.asarray(img2), f2, 0, cfg_on)
+
+    # without the retry the perturbed frame under-matches and keyframes
+    assert bool(m_off["is_keyframe"]), (
+        f"perturbation too weak: {int(m_off['n_matches'])} matches"
+    )
+    # with the retry the pose re-solve recovers the matches
+    assert bool(m_on["resolve_fired"])
+    assert int(m_on["n_matches"]) > int(m_off["n_matches"])
+    assert not bool(m_on["is_keyframe"]), (
+        f"resolve did not rescue: {int(m_on['n_matches'])} matches"
+    )
