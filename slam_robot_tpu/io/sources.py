@@ -51,6 +51,46 @@ class FileSource:
         return None
 
 
+class VideoSource:
+    """Video-file / live-camera source via cv2.VideoCapture — the
+    ImageSourceMono analog (video.h:41-62). Like the reference's
+    GetObservation (cam_.read, video.h:56-58), each call returns the
+    stream's NEXT frame; camera/frame ids are ignored, so two VideoSources
+    wrapped in a DuoSource replay two files as a fake stereo rig exactly
+    like main.cpp:456-460.
+
+    The reference configures width 640 and 10 fps (video.h:50-51); both
+    are no-ops on file streams but kept for live-camera parity.
+    """
+
+    def __init__(self, path_or_cam, width: int = 640, fps: int = 10):
+        self._arg = path_or_cam
+        self._width = width
+        self._fps = fps
+        self._cap = None
+
+    def init(self) -> bool:
+        import cv2
+
+        self._cap = cv2.VideoCapture(self._arg)
+        if not self._cap.isOpened():
+            print(f"Failed to open video file: {self._arg}")
+            return False
+        self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, self._width)
+        self._cap.set(cv2.CAP_PROP_FPS, self._fps)
+        return True
+
+    def get(self, camera: int, frame_id: int):
+        if self._cap is None and not self.init():
+            return None
+        ok, img = self._cap.read()
+        if not ok:
+            return None
+        if img.ndim == 3:  # cv2 gives BGR; grey with hessian.h:100 weights
+            img = img @ np.array([0.114, 0.587, 0.299], np.float32)
+        return img.astype(np.float32) / 255.0
+
+
 class DuoSource:
     """Alternate two sources by camera index (video.h:65-86)."""
 

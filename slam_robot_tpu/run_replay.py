@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap.add_argument("--load", default="", help="replay frames from directory")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic rendered frames")
+    ap.add_argument("--video", nargs="+", default=None, metavar="FILE",
+                    help="replay video file(s); two files form the fake "
+                         "alternating-stereo rig (main.cpp:456-460)")
     ap.add_argument("--save", default="", help="record frames to directory")
     ap.add_argument("--dump", default="", help="write /tmp/z-style map dump")
     ap.add_argument("--no-slam", action="store_true", help="tracking only")
@@ -62,10 +65,16 @@ def main(argv=None) -> int:
 
     if args.load:
         src = sources.FileSource(args.load)
+    elif args.video and len(args.video) >= 2:
+        src = sources.DuoSource(sources.VideoSource(args.video[0]),
+                                sources.VideoSource(args.video[1]))
+    elif args.video:
+        src = sources.VideoSource(args.video[0])
     elif args.synthetic:
         src = sources.SyntheticSource(cfg, n_frames=args.synthetic)
     else:
-        print("need --load DIR or --synthetic N", file=sys.stderr)
+        print("need --load DIR, --video FILE [FILE] or --synthetic N",
+              file=sys.stderr)
         return 1
     if not src.init():
         print(f"source init failed", file=sys.stderr)
