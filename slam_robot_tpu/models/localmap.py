@@ -744,4 +744,34 @@ def stats(state: MapState) -> dict:
             np.sum(np.asarray(state.obs_disabled) & np.asarray(state.obs_mask))
         ),
     }
+
+    # the reference's per-obs error histograms (localmap.cpp:400-460):
+    # observations of NO_BASELINE points are skipped; enabled obs of
+    # slam-usable points go to one histogram, the rest to the other
+    from slam_robot_tpu.utils.histogram import Histogram
+
+    n = int(state.n_obs)
+    if n > 0:
+        err = np.linalg.norm(np.asarray(state.obs_err[:n]), axis=1)
+        pt = np.asarray(state.obs_point[:n]).clip(0)
+        mask = np.asarray(state.obs_mask[:n])
+        skip = ((flags[pt] & NO_BASELINE) != 0) | ~mask
+        usable = np.asarray(slam_usable(state.point_flags))[pt]
+        enabled = ~np.asarray(state.obs_disabled[:n])
+        hi_en = Histogram(10)
+        hi_dis = Histogram(10)
+        sel_en = ~skip & enabled & usable
+        sel_dis = ~skip & ~(enabled & usable)
+        if sel_en.any():
+            hi_en.add_many(err[sel_en])
+        if sel_dis.any():
+            hi_dis.add_many(err[sel_dis])
+        d["enabled_err_hist"] = hi_en.counters.tolist()
+        d["disabled_err_hist"] = hi_dis.counters.tolist()
+
+    # per-frame distance / ddist summary (localmap.cpp:461-482)
+    nf = int(state.n_frames)
+    if nf > 1:
+        pos = np.asarray(state.frame_trans[:nf])
+        d["frame_dist"] = np.linalg.norm(np.diff(pos, axis=0), axis=1).round(1).tolist()
     return d

@@ -462,5 +462,10 @@ def track(
         "n_added": n_added,
         "is_keyframe": is_kf,
         "resolve_fired": resolve_fired,
+        # per-lane arrays for host-side observability (patch-history
+        # inspector, debug overlays); scalar-only consumers skip ndim>0
+        "feat_point": pt_idx,
+        "feat_px": to_px,
+        "feat_matched": matched,
     }
     return ms, map_state, metrics

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -41,6 +42,11 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--patch-history", default="", metavar="DIR",
+                    help="accumulate per-point patch histories (the "
+                         "reference's hover inspector data, matcher.cpp:"
+                         "260-265) and write strips for the most-tracked "
+                         "points to DIR")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -81,6 +87,11 @@ def main(argv=None) -> int:
         return 1
 
     rec = Recorder(args.save) if args.save else None
+    phist = None
+    if args.patch_history:
+        from slam_robot_tpu.utils.patch_history import PatchHistory
+
+        phist = PatchHistory(size=cfg.patch_size)
 
     ps = pipeline.init(cfg)
     run_slam = not args.no_slam
@@ -94,7 +105,11 @@ def main(argv=None) -> int:
         if rec is not None:
             rec.save(fid, img)
         ps, metrics = pipeline.step(ps, jnp.asarray(img), cfg, run_slam)
-        metrics = {k: np.asarray(v).item() for k, v in metrics.items()}
+        if phist is not None:
+            phist.update(img, metrics["feat_point"], metrics["feat_px"],
+                         metrics["feat_matched"])
+        metrics = {k: np.asarray(v).item() for k, v in metrics.items()
+                   if np.asarray(v).ndim == 0}
         dt = time.time() - t0
         n_done += 1
         if not args.quiet:
@@ -128,6 +143,21 @@ def main(argv=None) -> int:
 
     if args.dump:
         dump_util.dump_map(ps.map, args.dump)
+
+    if phist is not None:
+        os.makedirs(args.patch_history, exist_ok=True)
+        from PIL import Image
+
+        for pid in phist.top_ids(8):
+            strip = phist.strip(pid)
+            if strip is None:
+                continue
+            u8 = np.clip(strip * 255.0, 0, 255).astype(np.uint8)
+            Image.fromarray(u8).save(
+                os.path.join(args.patch_history, f"point_{pid:04d}.png")
+            )
+        print(f"patch histories: {len(phist.hist)} points -> "
+              f"{args.patch_history}")
 
     summary = {
         "frames": n_done,

@@ -19,7 +19,8 @@ class MetricsLog:
 
     def append(self, metrics: dict) -> None:
         self.rows.append(
-            {k: np.asarray(v).item() for k, v in metrics.items()}
+            {k: np.asarray(v).item() for k, v in metrics.items()
+             if np.asarray(v).ndim == 0}
         )
 
     def column(self, key: str) -> np.ndarray:

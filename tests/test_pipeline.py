@@ -35,7 +35,8 @@ def run_frames(n):
     history = []
     for cam, fid, img in sources.prefetch(src):
         ps, m = pipeline.step(ps, jnp.asarray(img), CFG)
-        history.append({k: np.asarray(v).item() for k, v in m.items()})
+        history.append({k: np.asarray(v).item() for k, v in m.items()
+                        if np.asarray(v).ndim == 0})
     return ps, history, src
 
 

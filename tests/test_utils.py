@@ -148,3 +148,49 @@ def test_prefetch_iterator_order(tmp_path):
     assert [s[2] for s in seen] == [0.0, 1.0, 2.0, 3.0, 4.0]
     # cameras alternate
     assert [s[0] for s in seen] == [1, 0, 1, 0, 1]
+
+
+def test_patch_history_cache():
+    """Last-N patch ring per point id (matcher.cpp:68-74, 260-265)."""
+    import numpy as np
+
+    from slam_robot_tpu.utils.patch_history import PatchHistory
+
+    ph = PatchHistory(size=13, depth=3)
+    img = np.arange(120 * 160, dtype=np.float32).reshape(120, 160) / (120 * 160)
+    ids = np.array([5, 7, -1, 5])
+    px = np.array([[40.0, 30.0], [80.5, 60.5], [0, 0], [42.0, 31.0]])
+    matched = np.array([True, True, True, True])
+    n = ph.update(img, ids, px, matched)
+    assert n == 3  # id -1 skipped
+    for _ in range(4):
+        ph.update(img, ids, px, matched)
+    assert len(ph.patches(5)) == 3  # ring depth clamps
+    assert ph.patches(7)[0].shape == (13, 13)
+    # newest first: sub-pixel extraction around the requested center
+    p = ph.patches(7)[0]
+    center_val = img[60, 80]
+    assert abs(p[6, 6] - center_val) < 0.01
+    strip = ph.strip(7, scale=2)
+    assert strip.shape == (26, 26 * 3)
+    assert ph.top_ids(1) in ([5], [7])
+
+
+def test_stats_histograms():
+    """localmap.stats carries the reference's error histograms
+    (localmap.cpp:400-460)."""
+    import jax.numpy as jnp
+
+    from slam_robot_tpu.config import SlamConfig
+    from slam_robot_tpu.models import localmap as lm
+    from slam_robot_tpu.utils import synthetic
+
+    cfg = SlamConfig(max_frames=16, max_points=64, max_obs=1024,
+                     max_obs_per_point=16)
+    scene = synthetic.build_scene(cfg, n_frames=6, n_points=12,
+                                  pixel_noise=0.5)
+    s, _ = lm.reproject(scene.state)
+    d = lm.stats(s)
+    assert "enabled_err_hist" in d and len(d["enabled_err_hist"]) == 10
+    assert sum(d["enabled_err_hist"]) + sum(d["disabled_err_hist"]) > 0
+    assert "frame_dist" in d and len(d["frame_dist"]) == int(s.n_frames) - 1
