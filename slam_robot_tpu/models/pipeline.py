@@ -184,6 +184,27 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     )
 
 
+def checked_step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
+    """Numeric-guard wrapper around :func:`step` — the SURVEY §5 sanitizer
+    analog. Pure-functional state already removes the reference's C++ race/
+    UB classes (set-erase-while-iterating, uninitialized is_keyframe_);
+    this adds the float guards: checkify's NaN/Inf and out-of-bounds checks
+    over the whole jitted step. ~2x slower; wire via run_replay
+    --debug-numerics or jax.config.update("jax_debug_nans", True) for the
+    eager-mode variant.
+
+    Returns (error, (state, metrics)); call ``error.throw()`` to raise on
+    the host.
+    """
+    from jax.experimental import checkify
+
+    f = checkify.checkify(
+        lambda ps_, img_: step(ps_, img_, cfg, run_slam),
+        errors=checkify.float_checks,
+    )
+    return f(ps, img)
+
+
 def slam_zero_result(m, cfg):
     from slam_robot_tpu.ops import ba
 

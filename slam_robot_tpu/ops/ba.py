@@ -350,20 +350,28 @@ def solve(
         )
 
         if cfg.solve_cameras:
-            # camera columns: coupling with frames and points
-            cslot = c_idx  # [O]
-            Hkk = jnp.zeros((C, 7, 7)).at[cslot].add(
-                jnp.einsum("oia,oib,o->oab", jk, jk, w, precision=_HI), mode="drop"
-            )
-            bk = jnp.zeros((C, 7)).at[cslot].add(
-                -jnp.einsum("oia,oi->oa", jk, wr, precision=_HI), mode="drop"
-            )
-            Hfk = jnp.zeros((W + 1, C, 6, 7)).at[obs_slot, cslot].add(
-                jnp.einsum("oia,oib,o->oab", jf, jk, w, precision=_HI), mode="drop"
-            )[:W]
-            Ak = jnp.zeros((P, C, 7, 4)).at[p_idx, cslot].add(
-                jnp.einsum("oia,oib,o->oab", jk, jp, w, precision=_HI), mode="drop"
-            )
+            # camera columns: coupling with frames and points — one-hot
+            # matmul accumulation like the primary blocks above (scatters
+            # in the LM body are TPU poison, PERF.md; one_hot of an OOB
+            # sentinel is all-zero = mode="drop")
+            ohc = jax.nn.one_hot(c_idx, C, dtype=jnp.float32)      # [O,C]
+            blk_kk = jnp.einsum("oia,oib,o->oab", jk, jk, w, precision=_HI)
+            Hkk = jnp.einsum("oc,oab->cab", ohc, blk_kk, precision=_HI)
+            bk = -jnp.einsum("oc,oia,oi->ca", ohc, jk, wr, precision=_HI)
+            blk_fk = jnp.einsum("oia,oib,o->oab", jf, jk, w, precision=_HI)
+            Hfk = jnp.einsum(
+                "oc,owab->wcab",
+                ohc,
+                jnp.einsum("ow,oab->owab", ohs, blk_fk, precision=_HI),
+                precision=_HI,
+            )  # [W,C,6,7]
+            blk_kp = jnp.einsum("oia,oib,o->oab", jk, jp, w, precision=_HI)
+            Ak = jnp.einsum(
+                "op,ocab->pcab",
+                ohp,
+                jnp.einsum("oc,oab->ocab", ohc, blk_kp, precision=_HI),
+                precision=_HI,
+            )  # [P,C,7,4]
             # stabilization residuals
             js = jax.vmap(jax.jacfwd(lambda k: _stab_residual(k, cfg)))(ks)  # [C,7,7]
             rs = jax.vmap(lambda k: _stab_residual(k, cfg))(ks)

@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--debug-numerics", action="store_true",
+                    help="run under checkify float guards (NaN/Inf/OOB; "
+                         "the SURVEY §5 sanitizer analog) and fail fast")
     ap.add_argument("--patch-history", default="", metavar="DIR",
                     help="accumulate per-point patch histories (the "
                          "reference's hover inspector data, matcher.cpp:"
@@ -104,7 +107,13 @@ def main(argv=None) -> int:
         t0 = time.time()
         if rec is not None:
             rec.save(fid, img)
-        ps, metrics = pipeline.step(ps, jnp.asarray(img), cfg, run_slam)
+        if args.debug_numerics:
+            err_chk, (ps, metrics) = pipeline.checked_step(
+                ps, jnp.asarray(img), cfg, run_slam
+            )
+            err_chk.throw()
+        else:
+            ps, metrics = pipeline.step(ps, jnp.asarray(img), cfg, run_slam)
         if phist is not None:
             phist.update(img, metrics["feat_point"], metrics["feat_px"],
                          metrics["feat_matched"])

@@ -79,3 +79,20 @@ def test_tracking_only_mode():
         ps, m = pipeline.step(ps, jnp.asarray(img), CFG, run_slam=False)
     assert int(ps.map.n_frames) == 4
     assert int(ps.total_ba_iters) == 0
+
+
+def test_checked_step_flags_nan_input():
+    """Numeric guards (SURVEY §5): a NaN-poisoned frame is caught by the
+    checkify wrapper; a clean frame passes."""
+    import jax
+
+    src = sources.SyntheticSource(CFG, n_frames=2, n_points=300)
+    ps = pipeline.init(CFG, scaled_intrinsics(CFG))
+    img = jnp.asarray(src.get(0, 0))
+
+    err, (ps2, m) = pipeline.checked_step(ps, img, CFG)
+    assert err.get() is None  # clean frame: no numeric error
+
+    bad = img.at[10:20, 10:20].set(jnp.nan)
+    err, _ = pipeline.checked_step(ps, bad, CFG)
+    assert err.get() is not None and "nan" in err.get().lower()
