@@ -28,53 +28,23 @@ def main() -> None:
     import numpy as np
 
     from slam_robot_tpu.config import SlamConfig
-    from slam_robot_tpu.models import pipeline, renderer
-    from slam_robot_tpu.ops import quaternion as quat
-    from slam_robot_tpu.utils import synthetic
+    from slam_robot_tpu.models import pipeline
+    from slam_robot_tpu.utils.benchscene import make_frames, sweep_pose
 
     cfg = SlamConfig()  # 640x480, max_points=1024 (the 1k-landmark config)
-    k = jnp.asarray(synthetic.reference_intrinsics(cfg))
 
     # pre-render an alternating-stereo panoramic sweep wide enough that
     # keyframes keep seeding until the map actually HOLDS ~1k live
     # landmarks (the round-1 bench claimed "1k" at a 120-point working
     # set — judged misleading; this one earns the label). The world is a
-    # 360-degree ring of landmarks so every heading faces fresh texture.
-    rng = np.random.default_rng(0)
-    n_world = 14000
-    ang = rng.uniform(0, 2 * np.pi, n_world)
-    rad = rng.uniform(2500.0, 9000.0, n_world)
-    wx = rad * np.sin(ang)
-    wz = rad * np.cos(ang)
-    wy = rng.uniform(-2500.0, 2500.0, n_world)
-    world = jnp.asarray(
-        np.stack([wx, wy, wz, np.ones(n_world)], -1).astype(np.float32)
-    )
-    bright = jnp.asarray(rng.uniform(0.35, 0.75, n_world).astype(np.float32))
-
+    # 360-degree ring of landmarks so every heading faces fresh texture;
+    # the warm phase yaws briskly (~82 deg) to populate the map and the
+    # timed continuation runs at the reference's slow-robot motion.
+    # Scene construction lives in utils/benchscene (shared with
+    # tools/profile_scan.py).
     n_warm = 96    # eager bootstrap: a brisk sweep builds the map
     n_timed_frames = 64  # timed scan: the sweep's CONTINUATION
-    n_frames = n_warm + n_timed_frames
-
-    def sweep_pose(i):
-        # warm phase yaws briskly to populate the map (~82 deg); the timed
-        # continuation runs at the reference's slow-robot per-frame motion
-        pair = i // 2
-        yaw = 0.03 * min(pair, 48) + 0.02 * max(pair - 48, 0)
-        t = np.array([150.0 * (i % 2), 0.0, 10.0 * pair], np.float32)
-        return yaw, t
-
-    frames = []
-    for i in range(n_frames):
-        yaw, tnp = sweep_pose(i)
-        q = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw)
-        t = jnp.asarray(tnp)
-        frames.append(
-            renderer.render(q, t, k, world, bright,
-                            height=cfg.image_height, width=cfg.image_width)
-        )
-    frames = [jax.device_put(f) for f in frames]
-    jax.block_until_ready(frames)
+    frames = make_frames(cfg, n_warm + n_timed_frames)
 
     ps = pipeline.init(cfg)
 

@@ -51,10 +51,13 @@ class MatcherState(NamedTuple):
     # per-(feature, view) reference patch stacks, extracted ONCE when the
     # view is stored (feat_px for a view never changes afterwards): the
     # matcher's forward-track reference patches (matcher.cpp:247 ->
-    # hessian.h:175-183) without the 1.5k-lane per-frame regather
-    feat_patch: jnp.ndarray   # [NF, V, L, S, S] f32
-    feat_pvalid: jnp.ndarray  # [NF, V, L, S, S] f32 (0/1)
-    feat_pstats: jnp.ndarray  # [NF, V, L, 2] (mean, sumsq)
+    # hessian.h:175-183) without the 1.5k-lane per-frame regather. Packed
+    # (data | valid | mean | sumsq, tracker_fused.pack_stacks) so a level
+    # sweep reads its cache rows with ONE latency-bound gather, not four
+    feat_refpack: jnp.ndarray  # [NF, V, L, 2*S*S+2] f32
+    feat_fail: jnp.ndarray    # [NF] int32 consecutive frames where every
+                              # stored-view attempt failed (0 = matched or
+                              # untried); drives cfg.find_fail_backoff
 
 
 def init(cfg: SlamConfig) -> MatcherState:
@@ -67,9 +70,8 @@ def init(cfg: SlamConfig) -> MatcherState:
         feat_point=jnp.full((NF,), -1, jnp.int32),
         feat_px=jnp.zeros((NF, V, 2), jnp.float32),
         feat_valid=jnp.zeros((NF, V), bool),
-        feat_patch=jnp.zeros((NF, V, L, S, S), jnp.float32),
-        feat_pvalid=jnp.zeros((NF, V, L, S, S), jnp.float32),
-        feat_pstats=jnp.zeros((NF, V, L, 2), jnp.float32),
+        feat_refpack=jnp.zeros((NF, V, L, 2 * S * S + 2), jnp.float32),
+        feat_fail=jnp.zeros((NF,), jnp.int32),
     )
 
 
@@ -128,6 +130,17 @@ def track(
     pt_idx = jnp.where(pt_ok, pt_idx, -1)
     ms = ms._replace(feat_point=pt_idx)
     live = pt_idx >= 0
+
+    # straggler backoff (cfg.find_fail_backoff): a lane whose attempts all
+    # failed last frame only re-enters the find ladder every k-th frame
+    # (slot-staggered so the straggler load spreads evenly). k=1 is the
+    # reference behavior: every stored view re-attempted every frame.
+    if cfg.find_fail_backoff > 1:
+        due = (ms.feat_fail == 0) | (
+            jnp.mod(frame_idx + jnp.arange(NF), cfg.find_fail_backoff) == 0
+        )
+    else:
+        due = jnp.ones((NF,), bool)
 
     # prediction inputs for the *current* frame pose
     fq = map_state.frame_quat[frame_idx]
@@ -193,7 +206,7 @@ def track(
                 jnp.ones((NF,), bool),
                 lvls3 != cfg.levels_unsure,
             )
-            cand = live & ~matched & has & pass_ok
+            cand = live & due & ~matched & has & pass_ok
             start = jnp.where(use_pred[:, None], start_pred, from_pt)
             cand = cand & in_image(start, cfg)
             lvls = jnp.where(
@@ -205,19 +218,15 @@ def track(
             def run(args):
                 from_pt, start, lvls, cand = args
                 lanes = jnp.arange(NF)
-                # whole unsliced cache + per-lane view index: only the
-                # compacted lanes gather patch rows inside the cascade
-                p1 = patch_ops.Patch(
-                    data=ms.feat_patch,
-                    valid=ms.feat_pvalid,
-                    mean=ms.feat_pstats[..., 0],
-                    sumsq=ms.feat_pstats[..., 1],
-                )
-                stats0 = ms.feat_pstats[lanes, vi_lane, 0]  # [NF, 2]
+                S2 = cfg.patch_size * cfg.patch_size
+                # whole unsliced packed cache + per-lane view index: each
+                # level sweep gathers only its compacted lanes' rows, once
+                stats0 = ms.feat_refpack[lanes, vi_lane, 0, 2 * S2:]
                 return tracker_fused.track_bidirectional_batch(
                     view_levels, new_pyr, from_pt, start, lvls, weight,
                     cfg.track_threshold, cfg.track_max_iters,
-                    cfg.roundtrip_px, active=cand, p1=p1,
+                    cfg.roundtrip_px, active=cand,
+                    p1_packed=ms.feat_refpack,
                     p1_view_idx=vi_lane, p1_stats0=stats0,
                 )
 
@@ -252,7 +261,7 @@ def track(
                 jnp.ones((NF,), bool),
                 lvls3 != cfg.levels_unsure,
             )
-            cand = live & ~matched & view_ok & has & pass_ok
+            cand = live & due & ~matched & view_ok & has & pass_ok
 
             start = jnp.where(use_pred[:, None], start_pred, from_pt)
             cand = cand & in_image(start, cfg)
@@ -365,6 +374,14 @@ def track(
         )
         n_matches = jnp.sum(matched.astype(jnp.int32))
 
+    # consecutive-failure streaks: matched lanes reset; lanes that were due
+    # and still failed every attempt increment; backed-off lanes hold
+    ms = ms._replace(
+        feat_fail=jnp.where(
+            matched, 0, jnp.where(live & due, ms.feat_fail + 1, ms.feat_fail)
+        ).astype(jnp.int32)
+    )
+
     # 4. keyframe branch (matcher.cpp:353-402)
     is_kf = n_matches < cfg.min_matches
 
@@ -421,6 +438,7 @@ def track(
         feat_px = feat_px.at[sdest, slot].set(cpts, mode="drop")
         feat_valid = feat_valid.at[sdest].set(False, mode="drop")
         feat_valid = feat_valid.at[sdest, slot].set(True, mode="drop")
+        feat_fail = ms.feat_fail.at[sdest].set(0, mode="drop")
 
         # cache the new view's reference patch stacks once — feat_px for a
         # stored view never changes, so every later frame's forward track
@@ -428,12 +446,8 @@ def track(
         stacks = tracker_fused.get_patch_stacks(
             new_pyr, feat_px[:, slot], cfg.patch_size
         )
-        feat_patch = ms.feat_patch.at[:, slot].set(stacks.data)
-        feat_pvalid = ms.feat_pvalid.at[:, slot].set(
-            stacks.valid.astype(jnp.float32)
-        )
-        feat_pstats = ms.feat_pstats.at[:, slot].set(
-            jnp.stack([stacks.mean, stacks.sumsq], -1)
+        feat_refpack = ms.feat_refpack.at[:, slot].set(
+            tracker_fused.pack_stacks(stacks)
         )
 
         ms = ms._replace(
@@ -442,9 +456,8 @@ def track(
             feat_point=feat_point,
             feat_px=feat_px,
             feat_valid=feat_valid,
-            feat_patch=feat_patch,
-            feat_pvalid=feat_pvalid,
-            feat_pstats=feat_pstats,
+            feat_refpack=feat_refpack,
+            feat_fail=feat_fail,
         )
         n_added = jnp.sum(assign.astype(jnp.int32))
         return ms, map_state, n_added

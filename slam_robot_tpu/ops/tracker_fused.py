@@ -91,21 +91,50 @@ def _extract_refs(ref_pyr: FlatPyramid, level: int, ref_pts, offs, size: int):
     return jax.vmap(one)(jnp.clip(jnp.nan_to_num(ref_pts), -1e6, 1e6), offs)
 
 
+def pack_stacks(p: patch_ops.Patch) -> jnp.ndarray:
+    """Pack a per-level reference Patch stack [F, L, S, S] into ONE flat
+    array [F, L, 2*S*S+2] (data | valid | mean | sumsq). XLA row gathers
+    are latency-bound per ROW regardless of row size (PERF.md), so reading
+    the cache as one packed gather instead of four separate ones quarters
+    the dominant per-level cache cost of a tracker sweep."""
+    F, L, S = p.data.shape[0], p.data.shape[1], p.data.shape[2]
+    return jnp.concatenate(
+        [
+            p.data.reshape(F, L, S * S),
+            p.valid.astype(jnp.float32).reshape(F, L, S * S),
+            p.mean[..., None],
+            p.sumsq[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def _unpack(pk, S: int):
+    """Inverse of pack_stacks for one level: pk [C, 2*S*S+2]."""
+    C = pk.shape[0]
+    refd = pk[:, : S * S].reshape(C, S, S)
+    refv = pk[:, S * S: 2 * S * S].reshape(C, S, S)
+    return refd, refv, pk[:, 2 * S * S], pk[:, 2 * S * S + 1]
+
+
 def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                         pts, lvls, weight, threshold: float = 0.001,
                         max_iters: int = 10, active=None,
                         backend: str | None = None,
                         ref_pyr: FlatPyramid | None = None, ref_pts=None,
-                        patches_view_idx=None):
+                        packed=None, packed_view_idx=None):
     """Batched TrackFeature (hessian.h:243-264): coarse-to-fine cascade with
     per-lane dynamic level counts. pts [F,2].
 
-    Reference patches come either precomputed (``patches``: stacked Patch
-    with leading axes [F, L] — or [F, V, L] with ``patches_view_idx`` [F]
-    selecting each lane's view, so the matcher's whole per-view cache is
-    passed unsliced and only the compacted lanes gather rows) or are
-    extracted per level from ``ref_pyr`` at ``ref_pts / 2^level`` — only
-    for levels that actually run, which is what the backward pass wants.
+    Reference patches come one of three ways:
+    - ``packed``: pack_stacks output, [F, L, 2S²+2] — or [F, V, L, 2S²+2]
+      with ``packed_view_idx`` [F] selecting each lane's view, so the
+      matcher's whole per-view cache is passed unsliced and each level
+      reads it with ONE row gather (over only the compacted lanes)
+    - ``patches``: stacked Patch with leading axes [F, L]
+    - ``ref_pyr``/``ref_pts``: extracted per level at ``ref_pts / 2^level``
+      — only for levels that actually run, which is what the backward pass
+      wants.
 
     Lane compaction: each level sweep runs at the smallest static lane
     bucket (32 / 128 / F) that holds its active lanes, so a straggler
@@ -121,8 +150,9 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
             f"budget ({MARGIN_PX - (S - 1) // 2}); grow "
             "MARGIN_PX/WIN in ops/pallas/newton.py or lower the budget"
         )
-    if patches is None and (ref_pyr is None or ref_pts is None):
-        raise ValueError("need either patches or (ref_pyr, ref_pts)")
+    if (patches is None and packed is None
+            and (ref_pyr is None or ref_pts is None)):
+        raise ValueError("need packed, patches, or (ref_pyr, ref_pts)")
     dims = _static_dims(pyr)
     L = pyr.depth
     F = pts.shape[0]
@@ -167,18 +197,19 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                 pyrC = FlatPyramid(pyr.data, pyr.heights, pyr.widths,
                                    pyr.depth_, offs[sel])
                 win, org = _gather_windows(pyrC, _i, posC, _wh, _ww)
-                if patches is not None:
-                    if patches_view_idx is not None:
-                        vsel = patches_view_idx[sel]
-                        refd = patches.data[sel, vsel, _i]
-                        refv = patches.valid[sel, vsel, _i].astype(jnp.float32)
-                        refm = patches.mean[sel, vsel, _i]
-                        refs = patches.sumsq[sel, vsel, _i]
+                if packed is not None:
+                    if packed_view_idx is not None:
+                        pk = packed[sel, packed_view_idx[sel], _i]
+                    elif compact:
+                        pk = packed[sel, _i]
                     else:
-                        refd = patches.data[sel, _i]
-                        refv = patches.valid[sel, _i].astype(jnp.float32)
-                        refm = patches.mean[sel, _i]
-                        refs = patches.sumsq[sel, _i]
+                        pk = packed[:, _i]  # static slice, no gather
+                    refd, refv, refm, refs = _unpack(pk, S)
+                elif patches is not None:
+                    refd = patches.data[sel, _i]
+                    refv = patches.valid[sel, _i].astype(jnp.float32)
+                    refm = patches.mean[sel, _i]
+                    refs = patches.sumsq[sel, _i]
                 else:
                     p = _extract_refs(ref_pyr, _i, ref_pts[sel], roffs[sel], S)
                     refd, refv = p.data, p.valid.astype(jnp.float32)
@@ -236,33 +267,35 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               roundtrip_px: float = 0.3,
                               min_variance: float = 1e-5,
                               active=None, backend: str | None = None,
-                              p1: patch_ops.Patch | None = None,
-                              p1_view_idx=None, p1_stats0=None):
+                              p1_packed=None, p1_view_idx=None,
+                              p1_stats0=None):
     """Batched forward/backward consistency tracking (matcher.cpp:173-206)
     with the fused level kernel; mirrors ops/tracker.track_bidirectional.
 
-    ``p1`` optionally supplies precomputed reference patch stacks at
-    ``from_pt`` in ``pyr_from`` (the matcher caches them per view — they
-    never change once a view is stored)."""
+    ``p1_packed`` optionally supplies precomputed packed reference stacks
+    (pack_stacks) at ``from_pt`` in ``pyr_from`` (the matcher caches them
+    per view — they never change once a view is stored)."""
     F = from_pt.shape[0]
     if active is None:
         active = jnp.ones((F,), bool)
     active = jnp.asarray(active, bool)
 
     S = int(weight.shape[0])
-    if p1 is not None:
+    if p1_packed is not None:
         to_pt, ok1 = track_feature_batch(
-            pyr_to, p1, init_to_pt, lvls, weight, threshold, max_iters,
-            active=active, backend=backend, patches_view_idx=p1_view_idx,
+            pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,
+            active=active, backend=backend, packed=p1_packed,
+            packed_view_idx=p1_view_idx,
         )
         if p1_stats0 is not None:
             tex_mean, tex_sumsq = p1_stats0[:, 0], p1_stats0[:, 1]
         elif p1_view_idx is not None:
             lanes = jnp.arange(F)
-            tex_mean = p1.mean[lanes, p1_view_idx, 0]
-            tex_sumsq = p1.sumsq[lanes, p1_view_idx, 0]
+            stats = p1_packed[lanes, p1_view_idx, 0, 2 * S * S:]
+            tex_mean, tex_sumsq = stats[:, 0], stats[:, 1]
         else:
-            tex_mean, tex_sumsq = p1.mean[:, 0], p1.sumsq[:, 0]
+            tex_mean = p1_packed[:, 0, 2 * S * S]
+            tex_sumsq = p1_packed[:, 0, 2 * S * S + 1]
     else:
         to_pt, ok1 = track_feature_batch(
             pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,

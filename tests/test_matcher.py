@@ -239,3 +239,50 @@ def test_mid_frame_resolve_recovers_perturbed_pose():
     assert not bool(m_on["is_keyframe"]), (
         f"resolve did not rescue: {int(m_on['n_matches'])} matches"
     )
+
+
+def test_find_fail_backoff_rate_limits_and_recovers():
+    """cfg.find_fail_backoff=k: a lane whose every attempt failed is only
+    re-attempted every k-th frame (slot-staggered), and re-matches once its
+    texture returns (<= k-1 frames late)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, find_fail_backoff=4)
+    # min_matches=0 disables keyframing after the seed frame so the failing
+    # lanes persist instead of being recycled
+    cfg_nokf = dataclasses.replace(cfg, min_matches=0)
+
+    ms, s = fresh()
+    img0 = texture(0)
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(img0), f0, 0, cfg)
+    n_seeded = int(m0["n_added"])
+    assert n_seeded > 10
+
+    # 5 uncorrelated-texture frames: attempts genuinely fail (a BLANK image
+    # would spuriously "match" — flat windows converge instantly with a
+    # perfect round-trip). Frame 1 has every lane due (feat_fail==0);
+    # frames 2-5 are one full backoff cycle, in which each lane is due
+    # exactly once -> feat_fail == 2, not 5
+    bad = jnp.asarray(texture(7))
+    never_matched = np.ones(CFG.max_features, bool)
+    for fi in range(1, 6):
+        s, f = lm.add_frame(s, fi % 2)
+        ms, s, m = matcher.track(ms, s, bad, f, fi % 2, cfg_nokf)
+        never_matched &= ~np.asarray(m["feat_matched"])
+    live = np.asarray(ms.feat_point) >= 0
+    lanes = live & never_matched
+    assert lanes.sum() > 10
+    assert np.all(np.asarray(ms.feat_fail)[lanes] == 2)
+
+    # texture returns: over one backoff cycle every lane comes due and
+    # re-matches (matched lanes reset to due-every-frame)
+    matched_any = np.zeros(CFG.max_features, bool)
+    for fi in range(6, 10):
+        img = shift(img0, 1.0, 0.5)
+        s, f = lm.add_frame(s, fi % 2)
+        ms, s, m = matcher.track(ms, s, jnp.asarray(img), f, fi % 2, cfg_nokf)
+        matched_any |= np.asarray(m["feat_matched"])
+    recovered = matched_any[lanes].mean()
+    assert recovered > 0.8, f"only {recovered:.0%} of stragglers recovered"
+    assert np.all(np.asarray(ms.feat_fail)[lanes & matched_any] == 0)

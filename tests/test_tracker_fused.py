@@ -141,3 +141,35 @@ def test_kernel_interpret_matches_xla(rng):
     pi, si = newton.newton_level(*args, backend="interpret", **kw)
     np.testing.assert_allclose(np.asarray(px), np.asarray(pi), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(sx), np.asarray(si))
+
+
+def test_packed_cache_path_matches_patch_path(rng):
+    """pack_stacks + packed gather path == the Patch path bit-for-bit
+    (the matcher's per-view packed cache is the same data, one gather)."""
+    pa, pb = setup(rng)
+    F = 24
+    pts = jnp.asarray(rng.uniform(30, 90, size=(F, 2)).astype(np.float32))
+    lvls = jnp.asarray(rng.integers(2, 5, size=(F,)), jnp.int32)
+    stacks = tracker_fused.get_patch_stacks(pa, pts)
+    packed = tracker_fused.pack_stacks(stacks)
+
+    pos_a, ok_a = tracker_fused.track_feature_batch(
+        pb, stacks, pts, lvls, WEIGHT, max_iters=ITERS, backend="xla")
+    pos_b, ok_b = tracker_fused.track_feature_batch(
+        pb, None, pts, lvls, WEIGHT, max_iters=ITERS, backend="xla",
+        packed=packed)
+    np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
+    np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+
+    # view-indexed form: [F, V, L, D] cache with per-lane view picks
+    V = 3
+    packed_v = jnp.stack([jnp.roll(packed, s, axis=0) for s in range(V)], 1)
+    vidx = jnp.asarray(rng.integers(0, V, size=(F,)), jnp.int32)
+    pos_c, ok_c = tracker_fused.track_feature_batch(
+        pb, None, pts, lvls, WEIGHT, max_iters=ITERS, backend="xla",
+        packed=packed_v, packed_view_idx=vidx)
+    # lanes that picked view 0 (unrolled cache) must equal the plain path
+    sel = np.asarray(vidx) == 0
+    assert sel.any()
+    np.testing.assert_array_equal(np.asarray(pos_c)[sel], np.asarray(pos_a)[sel])
+    np.testing.assert_array_equal(np.asarray(ok_c)[sel], np.asarray(ok_a)[sel])

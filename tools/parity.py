@@ -46,6 +46,11 @@ CFG_KW = dict(
     image_width=320, image_height=240, pyramid_depth=5, levels_unsure=5,
     max_features=192, max_corners=96, min_matches=20, max_frames=32,
     max_points=512, max_obs=8192, max_obs_per_point=16,
+    # reference-exact retry semantics: every stored view of every failing
+    # feature re-attempted every frame (matcher.cpp:221-248); the
+    # production default rate-limits stragglers (find_fail_backoff=4),
+    # which is a deliberate deviation the golden must not absorb
+    find_fail_backoff=1,
 )
 
 

@@ -1,0 +1,124 @@
+"""Time the headline-bench scan under config variants, on the real chip.
+
+Reproduces bench.py's mid-sweep state per variant (bootstrap on the warm
+frames with the SAME config, so the state is what that config would have
+built), then times the 64-frame lax.scan continuation and reports fps plus
+the accuracy stats the variant trades against (median enabled reprojection
+error, trajectory ATE, match/keyframe counts).
+
+    python tools/profile_scan.py [--variants default,backoff4,noslam]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_variant(name, cfg, frames, n_warm, run_slam=True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_robot_tpu.models import pipeline
+    from slam_robot_tpu.utils import benchscene
+
+    ps = pipeline.init(cfg)
+    t0 = time.time()
+    for i in range(n_warm):
+        ps, _ = pipeline.step(ps, frames[i], cfg, run_slam=run_slam)
+    jax.block_until_ready(ps.map.frame_trans)
+    warm_s = time.time() - t0
+
+    @jax.jit
+    def run_scan(ps, imgs):
+        def body(ps, img):
+            ps, met = pipeline.step(ps, img, cfg, run_slam=run_slam)
+            return ps, (met["mean_reproj_err"], met["n_matches"],
+                        met["is_keyframe"])
+
+        return jax.lax.scan(body, ps, imgs)
+
+    imgs = jnp.stack(frames[n_warm:])
+    n_timed_frames = imgs.shape[0]
+    t0 = time.time()
+    ps2, (errs, nm, kf) = run_scan(ps, imgs)
+    jax.block_until_ready(errs)
+    compile_s = time.time() - t0
+
+    n_rep = 2
+    t0 = time.time()
+    for _ in range(n_rep):
+        ps2, (errs, nm, kf) = run_scan(ps, imgs)
+    jax.block_until_ready(errs)
+    ms = (time.time() - t0) / (n_rep * n_timed_frames) * 1000
+
+    m2 = ps2.map
+    no = int(m2.n_obs)
+    errn = np.linalg.norm(np.asarray(m2.obs_err[:no]), axis=1)
+    dis = np.asarray(m2.obs_disabled[:no])
+    median_err = float(np.median(errn[~dis])) if (~dis).any() else 0.0
+    nf = int(m2.n_frames)
+    true_t = np.stack([benchscene.sweep_pose(i)[1] for i in range(nf)])
+    est_t = np.asarray(m2.frame_trans[:nf])
+    ate = float(np.sqrt(((est_t - true_t) ** 2).sum(1)).mean())
+    path = float(np.linalg.norm(true_t[-1] - true_t[0]))
+    out = {
+        "variant": name,
+        "scan_step_ms": round(ms, 2),
+        "fps": round(1000.0 / ms, 2),
+        "warm_s": round(warm_s, 1),
+        "scan_compile_s": round(compile_s, 1),
+        "median_enabled_err_px": round(median_err, 3),
+        "ate_mm": round(ate, 1),
+        "ate_pct_of_path": round(100.0 * ate / max(path, 1e-9), 2),
+        "n_points": int(m2.n_points),
+        "mean_matches": round(float(np.asarray(nm).mean()), 1),
+        "keyframes_in_scan": int(np.asarray(kf).sum()),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="default,backoff2,backoff4,noslam")
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from slam_robot_tpu.config import SlamConfig
+    from slam_robot_tpu.utils import benchscene
+
+    base = SlamConfig()
+    n_warm, n_timed = 96, 64
+    frames = benchscene.make_frames(base, n_warm + n_timed)
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    for name in args.variants.split(","):
+        if name == "default":
+            run_variant(name, base, frames, n_warm)
+        elif name.startswith("backoff"):
+            k = int(name[len("backoff"):])
+            cfg = dataclasses.replace(base, find_fail_backoff=k)
+            run_variant(name, cfg, frames, n_warm)
+        elif name == "noslam":
+            run_variant(name, base, frames, n_warm, run_slam=False)
+        else:
+            raise SystemExit(f"unknown variant {name}")
+
+
+if __name__ == "__main__":
+    main()
