@@ -547,6 +547,45 @@ def reproject(state: MapState, cheirality_eps: float = 0.001,
     return state._replace(obs_err=obs_err), mean
 
 
+def mean_obs_error(state: MapState, window: int | None = None) -> jnp.ndarray:
+    """The mean :func:`reproject` would return when nothing has moved since
+    the last reproject, computed from the STORED error table.
+
+    reproject stores err = observed pixel for rows failing the cheirality
+    test and excludes them from its mean (slam.cpp:529-545); such sentinel
+    rows are recognized here by comparing the stored error against the
+    observed pixel (a genuine error equal to its own observation in both
+    f32 components is the same encoding — indistinguishable by design).
+    ``window`` mirrors reproject's tail-window slicing so the averages are
+    drop-in comparable.
+    """
+    O = state.obs_frame.shape[0]
+    if window is not None and window < O:
+        start = jnp.maximum(state.n_obs - window, 0)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, window, 0)
+        obs_err, obs_px, obs_mask = (
+            sl(state.obs_err), sl(state.obs_px), sl(state.obs_mask)
+        )
+    else:
+        obs_err, obs_px, obs_mask = state.obs_err, state.obs_px, state.obs_mask
+    sentinel = jnp.all(obs_err == obs_px, axis=-1)
+    counted = obs_mask & ~sentinel
+    norms = jnp.linalg.norm(obs_err, axis=-1)
+    return jnp.sum(jnp.where(counted, norms, 0.0)) / jnp.maximum(
+        jnp.sum(counted.astype(jnp.float32)), 1.0
+    )
+
+
+def clamp_pending(state: MapState, w_min: float = 1e-6) -> jnp.ndarray:
+    """True iff :func:`clean`'s homogeneous-w clamp (localmap.cpp:299-306)
+    will move any usable point on this state: the clamp replaces w with
+    max(|w|, w_min), which changes w exactly when w < w_min (negative or
+    tiny). The pipeline uses this to know whether stored reprojection
+    errors remain exact across a clean call."""
+    usable = slam_usable(state.point_flags) & state.point_mask
+    return jnp.any(usable & (state.point_loc[:, 3] < w_min))
+
+
 # ---------------------------------------------------------------------------
 # clean (localmap.cpp:283-398)
 # ---------------------------------------------------------------------------

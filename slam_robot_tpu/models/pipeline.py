@@ -99,11 +99,18 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             )
             m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
 
+            # clean's homogeneous-w clamp (localmap.cpp:299-306) is the ONLY
+            # thing that moves geometry between a branch's reproject and the
+            # pre-normalize one below; lm.clamp_pending, evaluated on the
+            # state each clean call sees, says whether it will fire
             def after_fast(m):
+                t = lm.clamp_pending(m, cfg.homogeneous_w_min)
                 m, _ok = lm.clean(m, cfg.error_threshold, cfg)
-                return m
+                return m, t
 
-            m = jax.lax.cond(res_fast.ok, after_fast, lambda m: m, m)
+            m, touched = jax.lax.cond(
+                res_fast.ok, after_fast, lambda m: (m, jnp.bool_(False)), m
+            )
 
             # slow window on early frames and every 5th (main.cpp:587-597)
             slow_due = (frame_idx < cfg.slow_first_n) | (
@@ -116,18 +123,30 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                     max_iters=cfg.ba_iters_slow,
                 )
                 m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
+                t = lm.clamp_pending(m, cfg.homogeneous_w_min)
                 m, _ok = lm.clean(m, cfg.error_threshold, cfg)
-                return m, res
+                return m, res, t
 
             def no_slow(m):
                 zero = jax.tree.map(jnp.zeros_like, res_fast)
-                return m, zero._replace(ok=jnp.bool_(True))
+                # slow branch re-reprojects, superseding the fast clamp;
+                # without it the fast branch's clamp still stands
+                return m, zero._replace(ok=jnp.bool_(True)), touched
 
-            m, res_slow = jax.lax.cond(slow_due, do_slow, no_slow, m)
+            m, res_slow, touched = jax.lax.cond(slow_due, do_slow, no_slow, m)
 
             m = lm.apply_epipolar_constraint(m, cfg)
 
-            m, err1 = lm.reproject(m, cfg.cheirality_eps, window=rw)
+            # ReprojectMap parity (main.cpp:602): epipolar only disabled
+            # rows, so unless a w-clamp fired the stored errors ARE the
+            # recompute — re-average instead of re-projecting
+            def recompute(m):
+                return lm.reproject(m, cfg.cheirality_eps, window=rw)
+
+            def reuse(m):
+                return m, lm.mean_obs_error(m, window=rw)
+
+            m, err1 = jax.lax.cond(touched, recompute, reuse, m)
             m = lm.normalize(m)
             m, err2 = lm.reproject(m, cfg.cheirality_eps, window=rw)
             if cfg.drop_idle_frames:

@@ -50,6 +50,14 @@ class BAConfig(NamedTuple):
     range: float = 2.0            # CauchyLoss scale for reprojection
     max_iters: int = 50
     ftol: float = 1e-7
+    xtol: float = 1e-6            # parameter_tolerance analog (Ceres default
+                                  # 1e-8 relative; absolute here — mm /
+                                  # radians / homogeneous units all sit
+                                  # orders of magnitude above 1e-6): a
+                                  # proposed damped step this small cannot
+                                  # move the f32 state, and on rejection
+                                  # lambda only grows (steps shrink), so
+                                  # exit instead of counting 5 rejects
     baseline: float = 150.0       # FrameDistance target
     frame_dist_weight: float = 0.1
     frame_dist_loss: float = 15.0
@@ -439,6 +447,13 @@ def solve(
     def lm_body(carry):
         fq, ft, ks, locs, lam, cost, it, rejects, done = carry
         dxi, dt, dk, dp = build_step(fq, ft, ks, locs, lam)
+        step_inf = jnp.maximum(
+            jnp.max(jnp.abs(dxi)),
+            jnp.maximum(jnp.max(jnp.abs(dt)), jnp.max(jnp.abs(dp))),
+        )
+        if cfg.solve_cameras:
+            step_inf = jnp.maximum(step_inf, jnp.max(jnp.abs(dk)))
+        tiny = step_inf < cfg.xtol
         cq, ct, ck, cl = apply(fq, ft, ks, locs, dxi, dt, dk, dp)
         new_cost = total_cost(cq, ct, ck, cl)
         accept = new_cost < cost
@@ -456,7 +471,8 @@ def solve(
         rejects = jnp.where(accept, 0, rejects + 1)
         stalled = (rejects >= 5) | (new_lam >= 1e7)
         cost = jnp.where(accept, new_cost, cost)
-        return fq, ft, ks, locs, new_lam, cost, it + 1, rejects, done | converged | stalled
+        return (fq, ft, ks, locs, new_lam, cost, it + 1, rejects,
+                done | converged | stalled | tiny)
 
     def lm_cond(carry):
         *_, it, _rej, done = carry
