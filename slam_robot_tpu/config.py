@@ -75,6 +75,33 @@ class SlamConfig:
                                    # BETTER accuracy (ATE 3.3%->1.0%,
                                    # tools/profile_scan.py)
 
+    roundtrip_levels: int = 1      # backward-consistency cascade cap (0 =
+                                   # full forward budget, the reference's
+                                   # exact TrackFeature-both-ways,
+                                   # matcher.cpp:173-206; tools/parity.py
+                                   # pins 0). The backward pass STARTS at
+                                   # the stored view location — the exact
+                                   # answer a good roundtrip must return —
+                                   # so its coarse levels only do work for
+                                   # tracks that are already bad (bounded
+                                   # by the level-0 Newton budget, which
+                                   # still rejects them via the 0.3 px
+                                   # gate); capping at 1 level drops 2-5
+                                   # window gathers + ref extractions per
+                                   # sweep
+    retry_mode: str = "cycle"      # "ladder": the reference's full walk —
+                                   # every (stored view x level budget)
+                                   # attempt of every failing lane, every
+                                   # frame (matcher.cpp:221-269) as 2V
+                                   # cond-guarded sweeps. "cycle": ONE
+                                   # first-choice sweep (newest view,
+                                   # uncertainty levels) + retry_sweeps
+                                   # sweeps where each still-failing lane
+                                   # tries the attempt its fail counter
+                                   # cycles to — same attempt set, spread
+                                   # over consecutive due frames
+    retry_sweeps: int = 1          # extra per-frame attempts in cycle mode
+
     # ---- map maintenance (localmap.cpp) ----
     error_threshold: float = 5.0       # Clean threshold (main.cpp:555)
     clean_maxerr_div: float = 4.0      # worst-first bar maxerr/4 (localmap.cpp:366)

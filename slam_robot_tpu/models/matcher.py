@@ -183,51 +183,46 @@ def track(
         # PER-LANE VIEW RANKS: the reference walks views newest-first per
         # feature, trying the next view only on failure (matcher.cpp:
         # 221-269). A lane's attempt sequence is exactly its own valid
-        # views sorted newest-first, so scanning (rank, retry-pass) with a
-        # per-lane view pick is equivalent to the global (view, pass) walk
-        # — but in steady state every lane matches at rank 0, so ONE sweep
-        # does the work the view walk spread over V cond-guarded sweeps.
+        # views sorted newest-first, so sweeping with a per-lane view pick
+        # is equivalent to the global (view, pass) walk — but in steady
+        # state every lane matches at rank 0, so ONE sweep does the work
+        # the view walk spread over V cond-guarded sweeps.
         key = jnp.where(
             ms.feat_valid & (ms.view_frame >= 0)[None, :],
             ms.view_frame[None, :], -1,
         )  # [NF, V]
         lane_order = jnp.argsort(-key, axis=1)          # [NF, V] view idx
         key_sorted = jnp.take_along_axis(key, lane_order, axis=1)
+        lanes = jnp.arange(NF)
+        bwd_cap = (jnp.int32(cfg.roundtrip_levels)
+                   if cfg.roundtrip_levels > 0 else None)
 
-        def make_find_step(start_pred, use_pred):
-          def find_step(carry, xs):
-            matched, to_px = carry
-            rank, retry_pass = xs
-            vi_lane = lane_order[:, rank]               # [NF]
-            has = key_sorted[:, rank] >= 0
-            from_pt = ms.feat_px[jnp.arange(NF), vi_lane]
-            pass_ok = jnp.where(
-                retry_pass == 0,
-                jnp.ones((NF,), bool),
-                lvls3 != cfg.levels_unsure,
-            )
-            cand = live & due & ~matched & has & pass_ok
-            start = jnp.where(use_pred[:, None], start_pred, from_pt)
+        def make_sweep(start_pred_, use_pred_):
+          def sweep(matched, to_px, vi_lane, has, lvls_arr):
+            """One fused tracker sweep: per-lane view pick ``vi_lane``,
+            eligibility ``has``, per-lane level budgets ``lvls_arr``."""
+            from_pt = ms.feat_px[lanes, vi_lane]
+            cand = live & due & ~matched & has
+            start = jnp.where(use_pred_[:, None], start_pred_, from_pt)
             cand = cand & in_image(start, cfg)
-            lvls = jnp.where(
-                retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
-            ).astype(jnp.int32) * jnp.ones((NF,), jnp.int32)
-
             view_levels = _view_pyramid(ms, vi_lane, cfg)  # per-lane offset
 
             def run(args):
                 from_pt, start, lvls, cand = args
-                lanes = jnp.arange(NF)
                 S2 = cfg.patch_size * cfg.patch_size
-                # whole unsliced packed cache + per-lane view index: each
-                # level sweep gathers only its compacted lanes' rows, once
-                stats0 = ms.feat_refpack[lanes, vi_lane, 0, 2 * S2:]
+                # each lane's view pick is FIXED within a sweep, so the
+                # packed cache is gathered ONCE per sweep ([NF, L, D] rows);
+                # every level then reads it with a static slice (full-F
+                # bucket) or a C-row gather (compacted buckets)
+                packed_sel = ms.feat_refpack[lanes, vi_lane]
+                stats0 = packed_sel[:, 0, 2 * S2:]
                 return tracker_fused.track_bidirectional_batch(
                     view_levels, new_pyr, from_pt, start, lvls, weight,
                     cfg.track_threshold, cfg.track_max_iters,
                     cfg.roundtrip_px, active=cand,
-                    p1_packed=ms.feat_refpack,
-                    p1_view_idx=vi_lane, p1_stats0=stats0,
+                    p1_packed=packed_sel, p1_stats0=stats0,
+                    bwd_lvls=(None if bwd_cap is None
+                              else jnp.minimum(lvls, bwd_cap)),
                 )
 
             def skip(args):
@@ -235,16 +230,76 @@ def track(
                 return from_pt, jnp.zeros((NF,), bool)
 
             res_px, res_ok = jax.lax.cond(
-                jnp.any(cand), run, skip, (from_pt, start, lvls, cand)
+                jnp.any(cand), run, skip, (from_pt, start, lvls_arr, cand)
             )
             newly = cand & res_ok
-            matched = matched | newly
-            to_px = jnp.where(newly[:, None], res_px, to_px)
-            return (matched, to_px), None
+            return matched | newly, jnp.where(newly[:, None], res_px, to_px)
 
-          return find_step
+          return sweep
 
-        xs_rank = jnp.repeat(jnp.arange(V, dtype=jnp.int32), 2)
+        if cfg.retry_mode == "cycle":
+            # the walk's attempts AFTER the first, in its order:
+            # (rank0,pass1),(rank1,pass0),(rank1,pass1),(rank2,pass0),...
+            # A failing lane tries ONE of these per due frame, picked by
+            # cycling its fail counter through its own valid attempts —
+            # the same attempt set the ladder burns 2V-1 cond-guarded
+            # sweeps on every frame, spread over consecutive due frames.
+            att_r = jnp.asarray([(j + 1) // 2 for j in range(2 * V - 1)],
+                                jnp.int32)
+            att_p = jnp.asarray([(j + 1) % 2 for j in range(2 * V - 1)],
+                                jnp.int32)
+            has_rank = key_sorted >= 0                         # [NF, V]
+            retry6 = lvls3 != cfg.levels_unsure
+            att_ok = has_rank[:, att_r] & (
+                (att_p == 0)[None, :] | retry6[:, None]
+            )                                                  # [NF, 2V-1]
+            n_att = jnp.sum(att_ok.astype(jnp.int32), axis=1)
+            cum_att = jnp.cumsum(att_ok.astype(jnp.int32), axis=1)
+
+            def run_find(matched0, to_px0, start_pred_, use_pred_):
+                sweep = make_sweep(start_pred_, use_pred_)
+                matched, to_px = sweep(
+                    matched0, to_px0, lane_order[:, 0], has_rank[:, 0], lvls3
+                )
+                for s in range(cfg.retry_sweeps):
+                    cyc = jnp.mod(ms.feat_fail + s, jnp.maximum(n_att, 1))
+                    pick = (cum_att == cyc[:, None] + 1) & att_ok
+                    j = jnp.argmax(pick, axis=1)   # first valid cyc-th
+                    vi = lane_order[lanes, att_r[j]]
+                    lvls_arr = jnp.where(
+                        att_p[j] == 0, lvls3, jnp.int32(cfg.levels_unsure)
+                    ).astype(jnp.int32)
+                    matched, to_px = sweep(
+                        matched, to_px, vi, n_att > 0, lvls_arr
+                    )
+                return matched, to_px
+        else:
+            xs_rank = jnp.repeat(jnp.arange(V, dtype=jnp.int32), 2)
+            xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
+
+            def run_find(matched0, to_px0, start_pred_, use_pred_):
+                sweep = make_sweep(start_pred_, use_pred_)
+
+                def find_step(carry, xs):
+                    rank, retry_pass = xs
+                    has = key_sorted[:, rank] >= 0
+                    pass_ok = jnp.where(
+                        retry_pass == 0,
+                        jnp.ones((NF,), bool),
+                        lvls3 != cfg.levels_unsure,
+                    )
+                    lvls_arr = jnp.where(
+                        retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
+                    ).astype(jnp.int32)
+                    matched, to_px = sweep(
+                        *carry, lane_order[:, rank], has & pass_ok, lvls_arr
+                    )
+                    return (matched, to_px), None
+
+                (matched, to_px), _ = jax.lax.scan(
+                    find_step, (matched0, to_px0), (xs_rank, xs_pass)
+                )
+                return matched, to_px
     else:
         # round-1 path (lanes/klt): global newest-first view walk
         order = jnp.argsort(-ms.view_frame)  # newest frames first; -1 last
@@ -300,17 +355,16 @@ def track(
           return find_step
 
         xs_rank = jnp.repeat(order, 2)
+        # per view: pass 0 (uncertainty-scaled levels), pass 1 (retry at 6)
+        xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
 
-    # per view/rank: pass 0 (uncertainty-scaled levels), pass 1 (retry at 6)
-    xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
-
-    def run_find(matched0, to_px0, start_pred_, use_pred_):
-        (matched, to_px), _ = jax.lax.scan(
-            make_find_step(start_pred_, use_pred_),
-            (matched0, to_px0),
-            (xs_rank, xs_pass),
-        )
-        return matched, to_px
+        def run_find(matched0, to_px0, start_pred_, use_pred_):
+            (matched, to_px), _ = jax.lax.scan(
+                make_find_step(start_pred_, use_pred_),
+                (matched0, to_px0),
+                (xs_rank, xs_pass),
+            )
+            return matched, to_px
 
     matched, to_px = run_find(
         jnp.zeros((NF,), bool), jnp.zeros((NF, 2), jnp.float32),

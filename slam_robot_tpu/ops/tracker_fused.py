@@ -268,13 +268,18 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               min_variance: float = 1e-5,
                               active=None, backend: str | None = None,
                               p1_packed=None, p1_view_idx=None,
-                              p1_stats0=None):
+                              p1_stats0=None, bwd_lvls=None):
     """Batched forward/backward consistency tracking (matcher.cpp:173-206)
     with the fused level kernel; mirrors ops/tracker.track_bidirectional.
 
     ``p1_packed`` optionally supplies precomputed packed reference stacks
     (pack_stacks) at ``from_pt`` in ``pyr_from`` (the matcher caches them
-    per view — they never change once a view is stored)."""
+    per view — they never change once a view is stored).
+
+    ``bwd_lvls`` optionally overrides the backward cascade's per-lane level
+    counts (cfg.roundtrip_levels: the backward pass starts at the exact
+    location a good roundtrip must return to, so its coarse levels only
+    serve already-bad tracks); None = the reference's symmetric budget."""
     F = from_pt.shape[0]
     if active is None:
         active = jnp.ones((F,), bool)
@@ -309,7 +314,8 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     # backward: reference patches at the forward result in pyr_to, extracted
     # per level only where the backward cascade actually runs
     back_pt, ok2 = track_feature_batch(
-        pyr_from, None, from_pt, lvls, weight, threshold, max_iters,
+        pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
+        weight, threshold, max_iters,
         active=ok1, backend=backend, ref_pyr=pyr_to, ref_pts=to_pt,
     )
 

@@ -51,6 +51,10 @@ CFG_KW = dict(
     # production default rate-limits stragglers (find_fail_backoff=4),
     # which is a deliberate deviation the golden must not absorb
     find_fail_backoff=1,
+    # ... likewise: the full per-frame retry walk and the symmetric
+    # backward cascade, not the rate-limited production defaults
+    retry_mode="ladder",
+    roundtrip_levels=0,
 )
 
 

@@ -116,6 +116,15 @@ def main():
             run_variant(name, cfg, frames, n_warm)
         elif name == "noslam":
             run_variant(name, base, frames, n_warm, run_slam=False)
+        elif name.startswith("rt"):  # rt0 = full backward cascade, rtN = cap
+            cfg = dataclasses.replace(base, roundtrip_levels=int(name[2:]))
+            run_variant(name, cfg, frames, n_warm)
+        elif name == "ladder":
+            cfg = dataclasses.replace(base, retry_mode="ladder")
+            run_variant(name, cfg, frames, n_warm)
+        elif name == "sweeps2":
+            cfg = dataclasses.replace(base, retry_sweeps=2)
+            run_variant(name, cfg, frames, n_warm)
         else:
             raise SystemExit(f"unknown variant {name}")
 
