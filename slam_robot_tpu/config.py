@@ -75,21 +75,21 @@ class SlamConfig:
                                    # BETTER accuracy (ATE 3.3%->1.0%,
                                    # tools/profile_scan.py)
 
-    roundtrip_levels: int = 1      # backward-consistency cascade cap (0 =
+    roundtrip_levels: int = 0      # backward-consistency cascade cap (0 =
                                    # full forward budget, the reference's
                                    # exact TrackFeature-both-ways,
-                                   # matcher.cpp:173-206; tools/parity.py
-                                   # pins 0). The backward pass STARTS at
-                                   # the stored view location — the exact
-                                   # answer a good roundtrip must return —
-                                   # so its coarse levels only do work for
-                                   # tracks that are already bad (bounded
-                                   # by the level-0 Newton budget, which
-                                   # still rejects them via the 0.3 px
-                                   # gate); capping at 1 level drops 2-5
-                                   # window gathers + ref extractions per
-                                   # sweep
-    retry_mode: str = "cycle"      # "ladder": the reference's full walk —
+                                   # matcher.cpp:173-206). Capping looked
+                                   # attractive — the backward pass starts
+                                   # at the exact answer — but both
+                                   # directions start there; it is the
+                                   # COARSE levels' 4x/16x-wider context
+                                   # that pulls a wrong match's backward
+                                   # track away and fails the 0.3 px gate.
+                                   # cap=1 measured 7-12%% trajectory ATE
+                                   # (vs 1%% full): the cheap gate accepts
+                                   # marginal matches that poison BA. Keep
+                                   # 0 unless re-measured
+    retry_mode: str = "ladder"     # "ladder": the reference's full walk —
                                    # every (stored view x level budget)
                                    # attempt of every failing lane, every
                                    # frame (matcher.cpp:221-269) as 2V
@@ -99,8 +99,33 @@ class SlamConfig:
                                    # sweeps where each still-failing lane
                                    # tries the attempt its fail counter
                                    # cycles to — same attempt set, spread
-                                   # over consecutive due frames
+                                   # over consecutive due frames.
+                                   # MEASURED (live-exploration bench):
+                                   # with find_fail_backoff=4 the ladder's
+                                   # extra sweeps are usually empty (cond-
+                                   # skipped) so cycle saves little, and
+                                   # its slower straggler recovery either
+                                   # decays match counts into a keyframe
+                                   # storm (no escalation) or delays
+                                   # keyframes the map's accuracy wants
+                                   # (with escalation): 28.3ms/1.5%% ATE
+                                   # ladder vs 34.8/1.0 cycle vs 29.2/4.3
+                                   # cycle+escalation. Ladder stays the
+                                   # default; cycle remains for workloads
+                                   # with expensive per-sweep costs
     retry_sweeps: int = 1          # extra per-frame attempts in cycle mode
+    retry_escalate_margin: int = 16  # cycle mode: if the cycled retries
+                                   # still leave fewer than min_matches +
+                                   # margin lanes matched, fall back to
+                                   # the FULL ladder walk for this frame
+                                   # (one lax.cond — compiled once, only
+                                   # executed on decaying frames). One
+                                   # retry/frame alone lets match counts
+                                   # decay through the keyframe threshold
+                                   # while exploring (measured: keyframe
+                                   # every other frame, 35/64); the walk
+                                   # is far cheaper than the keyframe +
+                                   # map churn it prevents. -1 disables
 
     # ---- map maintenance (localmap.cpp) ----
     error_threshold: float = 5.0       # Clean threshold (main.cpp:555)

@@ -197,12 +197,12 @@ def track(
         bwd_cap = (jnp.int32(cfg.roundtrip_levels)
                    if cfg.roundtrip_levels > 0 else None)
 
-        def make_sweep(start_pred_, use_pred_):
+        def make_sweep(start_pred_, use_pred_, due_):
           def sweep(matched, to_px, vi_lane, has, lvls_arr):
             """One fused tracker sweep: per-lane view pick ``vi_lane``,
             eligibility ``has``, per-lane level budgets ``lvls_arr``."""
             from_pt = ms.feat_px[lanes, vi_lane]
-            cand = live & due & ~matched & has
+            cand = live & due_ & ~matched & has
             start = jnp.where(use_pred_[:, None], start_pred_, from_pt)
             cand = cand & in_image(start, cfg)
             view_levels = _view_pyramid(ms, vi_lane, cfg)  # per-lane offset
@@ -257,7 +257,7 @@ def track(
             cum_att = jnp.cumsum(att_ok.astype(jnp.int32), axis=1)
 
             def run_find(matched0, to_px0, start_pred_, use_pred_):
-                sweep = make_sweep(start_pred_, use_pred_)
+                sweep = make_sweep(start_pred_, use_pred_, due)
                 matched, to_px = sweep(
                     matched0, to_px0, lane_order[:, 0], has_rank[:, 0], lvls3
                 )
@@ -272,13 +272,54 @@ def track(
                     matched, to_px = sweep(
                         matched, to_px, vi, n_att > 0, lvls_arr
                     )
+
+                if cfg.retry_escalate_margin >= 0:
+                    # decaying frame: the one-retry-per-frame budget is
+                    # about to cost a keyframe (2.6ms branch + view-ring
+                    # churn) — run the reference's FULL walk instead,
+                    # ignoring the straggler backoff (a desperate frame
+                    # wants every lane). Steady frames skip the cond.
+                    esweep = make_sweep(
+                        start_pred_, use_pred_, jnp.ones((NF,), bool)
+                    )
+
+                    def escalate(args):
+                        def estep(carry, xs):
+                            rank, retry_pass = xs
+                            has = key_sorted[:, rank] >= 0
+                            pass_ok = jnp.where(
+                                retry_pass == 0,
+                                jnp.ones((NF,), bool),
+                                retry6,
+                            )
+                            lvls_arr = jnp.where(
+                                retry_pass == 0, lvls3,
+                                jnp.int32(cfg.levels_unsure),
+                            ).astype(jnp.int32)
+                            m2, px2 = esweep(
+                                *carry, lane_order[:, rank],
+                                has & pass_ok, lvls_arr,
+                            )
+                            return (m2, px2), None
+
+                        xs_r = jnp.repeat(jnp.arange(V, dtype=jnp.int32), 2)
+                        xs_p = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
+                        out, _ = jax.lax.scan(estep, args, (xs_r, xs_p))
+                        return out
+
+                    low = jnp.sum(matched.astype(jnp.int32)) < (
+                        cfg.min_matches + cfg.retry_escalate_margin
+                    )
+                    matched, to_px = jax.lax.cond(
+                        low, escalate, lambda a: a, (matched, to_px)
+                    )
                 return matched, to_px
         else:
             xs_rank = jnp.repeat(jnp.arange(V, dtype=jnp.int32), 2)
             xs_pass = jnp.tile(jnp.arange(2, dtype=jnp.int32), V)
 
             def run_find(matched0, to_px0, start_pred_, use_pred_):
-                sweep = make_sweep(start_pred_, use_pred_)
+                sweep = make_sweep(start_pred_, use_pred_, due)
 
                 def find_step(carry, xs):
                     rank, retry_pass = xs

@@ -120,6 +120,14 @@ def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
     cfg = cfg or SlamConfig()
     free, present = window_masks(state, num_to_solve, num_to_present)
     bcfg = _ba_cfg(cfg, range_)
+    # size the reduced system to THIS window: at most num_to_solve frames
+    # can be free, and every per-LM-iteration assembly tensor carries a W
+    # axis ([P,W,6,4] coupling blocks, W*6 reduced LU). The fast (2,5)
+    # window at W=16 spent ~2.9 ms/frame materializing 8x more coupling
+    # than exists (trace-measured); W=2 shrinks it proportionally.
+    bcfg = bcfg._replace(
+        max_free_frames=min(bcfg.max_free_frames, int(num_to_solve))
+    )
     if max_iters is not None:
         bcfg = bcfg._replace(max_iters=max_iters)
     return _run(state, free, present, bcfg,
