@@ -157,6 +157,18 @@ class SlamConfig:
                                        # window myopia at all)
     ba_iters_slow: int = 30            # periodic window (10,20)
     window_obs_fast: int = 1024        # obs tail slice for the fast window
+    ba_free_points_fast: int = 512     # free-landmark slot capacity for the
+                                       # fast window's assembly tensors
+                                       # (ops/ba.py max_free_points): the
+                                       # (2,5) window plus freshly-seeded
+                                       # uncertain points touch ~150-400
+                                       # free points, but uncompacted
+                                       # assembly bills all max_points
+                                       # every LM iteration. Overflow
+                                       # solves as const (graceful). 0
+                                       # disables; the slow window stays
+                                       # uncompacted (it can free most of
+                                       # the map)
     ba_ftol: float = 1e-7              # slam.cpp:494
     ba_ftol_fine: float = 1e-9         # slam.cpp:498
     frame_dist_weight: float = 0.1     # FrameDistance residual (slam.cpp:100)

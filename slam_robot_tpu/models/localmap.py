@@ -90,6 +90,15 @@ class MapState(NamedTuple):
     # per-point ring of obs-table indices
     point_obs: jnp.ndarray    # [P, R] int32 (ring; slot = total % R)
     point_obs_total: jnp.ndarray  # [P] int32 lifetime obs count per point
+    # ring-layout MIRRORS of per-obs fields the maintenance passes read
+    # every frame. A [P,R]-shaped element gather from the obs table costs
+    # ~0.5 ms per field per call site on TPU (trace-measured); these are
+    # written in ring layout at the same time the obs row is written, so
+    # clean/refresh/epipolar read them for free. Invariant (tested):
+    # for live slots, ring_frame[p,k] == obs_frame[point_obs[p,k]] and
+    # ring_disabled[p,k] == obs_disabled[point_obs[p,k]].
+    ring_frame: jnp.ndarray   # [P, R] int32
+    ring_disabled: jnp.ndarray  # [P, R] bool
 
     # ---- derived helpers ----
     @property
@@ -157,6 +166,8 @@ def empty(cfg: SlamConfig) -> MapState:
         n_obs=jnp.int32(0),
         point_obs=jnp.full((P, R), -1, jnp.int32),
         point_obs_total=jnp.zeros((P,), jnp.int32),
+        ring_frame=jnp.full((P, R), -1, jnp.int32),
+        ring_disabled=jnp.zeros((P, R), bool),
     )
 
 
@@ -216,6 +227,8 @@ def add_points(state: MapState, locs, valid) -> tuple[MapState, jnp.ndarray]:
     unc = state.point_uncertainty.at[dest].set(1e8, mode="drop")
     ring = state.point_obs.at[dest].set(-1, mode="drop")
     totals = state.point_obs_total.at[dest].set(0, mode="drop")
+    ring_frame = state.ring_frame.at[dest].set(-1, mode="drop")
+    ring_disabled = state.ring_disabled.at[dest].set(False, mode="drop")
     n_new = state.n_points + jnp.sum(in_cap.astype(jnp.int32))
     idx = jnp.where(in_cap, offs, -1)
     return (
@@ -225,6 +238,8 @@ def add_points(state: MapState, locs, valid) -> tuple[MapState, jnp.ndarray]:
             point_uncertainty=unc,
             point_obs=ring,
             point_obs_total=totals,
+            ring_frame=ring_frame,
+            ring_disabled=ring_disabled,
             n_points=n_new,
         ),
         idx,
@@ -259,6 +274,10 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
     pr = jnp.where(in_cap, point_idx, state.point_loc.shape[0])  # OOB drop
     point_obs = state.point_obs.at[pr, slot].set(offs, mode="drop")
     point_obs_total = state.point_obs_total.at[pr].add(1, mode="drop")
+    ring_frame = state.ring_frame.at[pr, slot].set(
+        jnp.int32(frame_idx), mode="drop"
+    )
+    ring_disabled = state.ring_disabled.at[pr, slot].set(False, mode="drop")
 
     new = state._replace(
         obs_frame=obs_frame,
@@ -269,6 +288,8 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
         n_obs=state.n_obs + jnp.sum(in_cap.astype(jnp.int32)),
         point_obs=point_obs,
         point_obs_total=point_obs_total,
+        ring_frame=ring_frame,
+        ring_disabled=ring_disabled,
     )
     return refresh_flags(new)
 
@@ -368,12 +389,8 @@ def refresh_flags(state: MapState, min_baseline: float = 50.0) -> MapState:
       observation's frame clears NO_BASELINE (localmap.cpp:62-83)
     """
     idx, ok, age = _ring_slots(state)
-    enabledf, framesf = _rows_gather(
-        idx, [~state.obs_disabled, state.obs_frame]
-    )
-    good = ok & (enabledf > 0.5)
-    frames = framesf.astype(jnp.int32)
-    pos = state.frame_trans[frames.clip(0)]  # [P, R, 3]
+    good = ok & ~state.ring_disabled
+    pos = state.frame_trans[state.ring_frame.clip(0)]  # [P, R, 3]
     flags = _refresh_flags_from(state.point_flags, good, pos, age, min_baseline)
     return state._replace(point_flags=flags)
 
@@ -638,13 +655,13 @@ def clean(state: MapState, error_threshold: float = 5.0, cfg: SlamConfig | None 
     )
     state = state._replace(point_loc=loc)
 
-    # ring gathers — one packed gather for all per-obs fields
+    # ring reads — frame/disabled come from the ring mirrors for free;
+    # only the error table still needs a gather (it changes every
+    # reproject, obs-major)
     ring_rows, ok, age = _ring_slots(state)
-    errs2, framesf, enabledf = _rows_gather(
-        ring_rows, [state.obs_err, state.obs_frame, ~state.obs_disabled]
-    )
-    frames = framesf.astype(jnp.int32)
-    enabled = enabledf > 0.5
+    (errs2,) = _rows_gather(ring_rows, [state.obs_err])
+    frames = state.ring_frame
+    enabled = ~state.ring_disabled
     errn = jnp.linalg.norm(errs2, axis=-1)  # [P, R]
 
     # 2. too-close-to-camera test over all cached obs of usable points
@@ -666,7 +683,11 @@ def clean(state: MapState, error_threshold: float = 5.0, cfg: SlamConfig | None 
     all_ok = ~jnp.any(to_disable)
     rows = jnp.where(to_disable, ring_rows, state.obs_frame.shape[0])
     obs_disabled = state.obs_disabled.at[rows].set(True, mode="drop")
-    state = state._replace(obs_disabled=obs_disabled)
+    state = state._replace(
+        obs_disabled=obs_disabled,
+        # the mirror updates scatter-free: to_disable is already [P,R]
+        ring_disabled=state.ring_disabled | to_disable,
+    )
 
     # 4. avg error over the ring; BAD_FEATURE; uncertainty update
     cnt = jnp.maximum(state.point_ring_count(), 1)
@@ -713,8 +734,7 @@ def apply_epipolar_constraint(state: MapState, cfg: SlamConfig | None = None) ->
     total = state.point_obs_total
 
     ring_rows, ok, age = _ring_slots(state)
-    (enabledf,) = _rows_gather(ring_rows, [~state.obs_disabled])
-    enabled = enabledf > 0.5
+    enabled = ~state.ring_disabled
 
     last_age = cnt - 1  # age of observation(-1)
     # obs2 candidates: ages last_age-1 down to 1 == observation(-2..-(n-1));
@@ -765,11 +785,19 @@ def apply_epipolar_constraint(state: MapState, cfg: SlamConfig | None = None) ->
     disable1 = hard & many
     rows = jnp.where(disable1, row1, state.obs_frame.shape[0])
     obs_disabled = state.obs_disabled.at[rows].set(True, mode="drop")
+    # mirror update scatter-free: row1 lives at slot j1 of its point's ring
+    R = state.ring_disabled.shape[1]
+    ring_disabled = state.ring_disabled | (
+        disable1[:, None] & (jnp.arange(R)[None, :] == j1[:, None])
+    )
 
     flags = state.point_flags
     flags = jnp.where(disable1, flags | MISMATCHED, flags)
     flags = jnp.where(hard & ~many, flags | BAD_FEATURE, flags)
-    return state._replace(obs_disabled=obs_disabled, point_flags=flags)
+    return state._replace(
+        obs_disabled=obs_disabled, ring_disabled=ring_disabled,
+        point_flags=flags,
+    )
 
 
 # ---------------------------------------------------------------------------

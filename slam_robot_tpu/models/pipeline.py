@@ -96,6 +96,7 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             m, res_fast = slam.solve_frames(
                 m, cfg.solve_fast[0], cfg.solve_fast[1], cfg.ba_range, cfg,
                 max_iters=cfg.ba_iters_fast, window_obs=cfg.window_obs_fast,
+                max_free_points=cfg.ba_free_points_fast,
             )
             m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
 

@@ -113,7 +113,8 @@ def _run(state: lm.MapState, free, present, bcfg: ba.BAConfig,
 
 def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
                  range_: float = 2.0, cfg: SlamConfig | None = None,
-                 max_iters: int | None = None, window_obs: int | None = None):
+                 max_iters: int | None = None, window_obs: int | None = None,
+                 max_free_points: int | None = None):
     """Slam::SolveFrames: solve the newest ``num_to_solve`` frame poses (and
     the points they see) against ``num_to_present`` presented frames.
     Returns (state, BAResult)."""
@@ -126,8 +127,12 @@ def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
     # window at W=16 spent ~2.9 ms/frame materializing 8x more coupling
     # than exists (trace-measured); W=2 shrinks it proportionally.
     bcfg = bcfg._replace(
-        max_free_frames=min(bcfg.max_free_frames, int(num_to_solve))
+        # at least one slot: point-only solves (num_to_solve=0) still need
+        # a well-formed (all-masked) reduced frame system
+        max_free_frames=max(1, min(bcfg.max_free_frames, int(num_to_solve)))
     )
+    if max_free_points is not None:
+        bcfg = bcfg._replace(max_free_points=int(max_free_points))
     if max_iters is not None:
         bcfg = bcfg._replace(max_iters=max_iters)
     return _run(state, free, present, bcfg,
@@ -180,8 +185,8 @@ def solve_frame_pose_epipolar(state: lm.MapState, cfg: SlamConfig | None = None,
 
     # shared points: ring positions of observations in f1 and f2
     P = state.point_loc.shape[0]
-    frames, ok_ring, _rows = lm._ring_gather(state, state.obs_frame)
-    pxs, _, _ = lm._ring_gather(state, state.obs_px)
+    frames = state.ring_frame            # mirror: no gather
+    pxs, ok_ring, _rows = lm._ring_gather(state, state.obs_px)
 
     def pick(fid):
         m = ok_ring & (frames == fid)

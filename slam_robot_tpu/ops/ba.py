@@ -66,6 +66,17 @@ class BAConfig(NamedTuple):
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
     max_free_frames: int = 16     # reduced-system frame slot capacity
+    max_free_points: int = 0      # landmark slot capacity for the per-LM-
+                                  # iteration assembly tensors (Cp, bp, A,
+                                  # Cinv). 0 = one slot per point row (no
+                                  # compaction). A small window touches a
+                                  # fraction of the point table, but the
+                                  # [P,...] assembly bills all of it every
+                                  # iteration (trace-measured); compacting
+                                  # free points into PW slots shrinks that
+                                  # proportionally. Free points beyond the
+                                  # capacity stay CONST for the solve
+                                  # (graceful, like frame-slot overflow)
     cheirality_eps: float = 0.001
     solve_cameras: bool = False
     camera_loss: float = 5.0      # CauchyLoss on the stabilization residual
@@ -200,6 +211,27 @@ def solve(
     )
     free_p = point_in & (fluid | (point_uncertainty > cfg.uncertainty_free)) & solvable
 
+    # ---- free-point compaction (cfg.max_free_points) ----
+    # The per-iteration assembly tensors carry a point axis; a window
+    # touches a fraction of the table, so compact the FREE points (the
+    # only rows whose Cinv is nonzero) into PW dense slots. Overflow
+    # degrades gracefully: points past capacity solve as const.
+    if cfg.max_free_points and cfg.max_free_points < P:
+        PW = cfg.max_free_points
+        rank = jnp.cumsum(free_p) - 1
+        free_p = free_p & (rank < PW)
+        pslot_of = jnp.where(free_p, rank, PW).astype(jnp.int32)
+        obs_pc = pslot_of[p_idx]            # [O]; PW = dropped column
+        # merge matrix [P, PW] built ONCE (structure is fixed across LM
+        # iterations); dp expands per iteration via one matmul
+        merge_p = jax.nn.one_hot(pslot_of, PW + 1, dtype=jnp.float32)[:, :PW]
+        free_pc = jnp.arange(PW) < jnp.sum(free_p)
+    else:
+        PW = P
+        obs_pc = p_idx
+        merge_p = None
+        free_pc = free_p
+
     # frame -> dense slot
     slot_of = jnp.where(free_f, jnp.cumsum(free_f) - 1, W).astype(jnp.int32)
     slot_of = jnp.minimum(slot_of, W)  # overflow drops (capacity guard)
@@ -281,7 +313,7 @@ def solve(
         # iteration measured ~8ms/iter while the equivalent dot_generals run
         # on the MXU in microseconds. one_hot(sentinel) rows are all-zero,
         # which reproduces mode="drop".
-        ohp = jax.nn.one_hot(p_idx, P, dtype=jnp.float32)          # [O,P]
+        ohp = jax.nn.one_hot(obs_pc, PW, dtype=jnp.float32)        # [O,PW]
         ohs = jax.nn.one_hot(obs_slot, W + 1, dtype=jnp.float32)[:, :W]  # [O,W]
 
         # landmark blocks
@@ -333,7 +365,7 @@ def solve(
             jnp.einsum("pii->p", Cp)[:, None, None] / 4.0, 1e-6
         ) + 1e-8 * jnp.eye(4)
         Cdamp = Cp + lamI4
-        Cinv = jnp.where(free_p[:, None, None], inv4x4(Cdamp), jnp.zeros((4, 4)))
+        Cinv = jnp.where(free_pc[:, None, None], inv4x4(Cdamp), jnp.zeros((4, 4)))
 
         eyeW = jnp.eye(6)
         Hff_d = Hff + lam * eyeW * jnp.maximum(
@@ -427,6 +459,8 @@ def solve(
         if cfg.solve_cameras:
             Atd = Atd + jnp.einsum("pcia,ci->pa", Ak, dk, precision=_HI)
         dp = jnp.einsum("pab,pb->pa", Cinv, bp - Atd, precision=_HI)
+        if merge_p is not None:
+            dp = jnp.matmul(merge_p, dp, precision=_HI)  # [P,4]
         dp = jnp.where(free_p[:, None], dp, 0.0)
 
         # map frame slots back to frames (slot-capacity overflow stays const)

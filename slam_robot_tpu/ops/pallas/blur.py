@@ -91,4 +91,8 @@ def pyr_down(img, interpret: bool = False):
     img = jnp.asarray(img, jnp.float32)
     k = (jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0).reshape(1, -1)
     full = _call(img, k, interpret)
-    return full[::2, ::2]
+    # barrier: left to itself XLA fuses this strided slice across the next
+    # pallas_call's operand boundary into a computed-index gather
+    # (~780 us/frame trace-measured); fenced off it lowers as a plain
+    # strided copy (~1 us)
+    return jax.lax.optimization_barrier(full[::2, ::2])

@@ -192,3 +192,26 @@ def test_cg_solver_larger_map():
     before = reproj_err(s)
     after = reproj_err(s2)
     assert after < 0.1 * before and after < 1.0
+
+
+def test_free_point_compaction_matches_uncompacted():
+    """max_free_points compaction: identical solve when capacity holds all
+    free points; graceful const degradation past capacity."""
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=20,
+                                  point_noise=100.0)
+    s = scene.state
+    full, _ = slam.solve_frames(s, 0, 6, 2.0, CFG)
+    comp, res = slam.solve_frames(s, 0, 6, 2.0, CFG, max_free_points=32)
+    assert bool(res.ok)
+    np.testing.assert_allclose(
+        np.asarray(comp.point_loc), np.asarray(full.point_loc),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # capacity 8 < 20 free points: the first 8 solve, the rest stay const
+    part, res2 = slam.solve_frames(s, 0, 6, 2.0, CFG, max_free_points=8)
+    assert bool(res2.ok)
+    moved = np.any(
+        np.asarray(part.point_loc) != np.asarray(s.point_loc), axis=1
+    )
+    assert moved[:8].all() and not moved[8:20].any()

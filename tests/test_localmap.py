@@ -281,3 +281,40 @@ def test_pop_frame_clears_wrapped_ring_slot():
     valid_rows = np.asarray(idx[0])[np.asarray(ok[0])]
     assert valid_rows.size > 0
     assert np.all(valid_rows < int(s2.n_obs)), valid_rows
+
+
+def test_ring_mirrors_stay_consistent():
+    """ring_frame / ring_disabled mirror the obs table through add, clean,
+    epipolar, pop: for live slots ring_frame[p,k] == obs_frame[idx] and
+    ring_disabled[p,k] == obs_disabled[idx]."""
+    import numpy as np
+
+    from slam_robot_tpu.utils import synthetic
+
+    cfg = SlamConfig(max_frames=16, max_points=64, max_obs=1024,
+                     max_obs_per_point=8)
+    scene = synthetic.build_scene(cfg, n_frames=12, n_points=24,
+                                  pixel_noise=2.0)
+    s = scene.state
+
+    def check(s, where):
+        idx, ok, _age = lm._ring_slots(s)
+        idxn = np.asarray(idx)
+        okn = np.asarray(ok)
+        rf = np.asarray(s.ring_frame)
+        rd = np.asarray(s.ring_disabled)
+        of = np.asarray(s.obs_frame)
+        od = np.asarray(s.obs_disabled)
+        p, k = np.nonzero(okn)
+        rows = idxn[p, k]
+        np.testing.assert_array_equal(rf[p, k], of[rows], err_msg=where)
+        np.testing.assert_array_equal(rd[p, k], od[rows], err_msg=where)
+
+    check(s, "after build_scene")
+    s, _ = lm.reproject(s)
+    s, _ = lm.clean(s, 0.5, cfg)   # low bar: force disables
+    check(s, "after clean")
+    s = lm.apply_epipolar_constraint(s, cfg)
+    check(s, "after epipolar")
+    s = lm.pop_frame(s)
+    check(s, "after pop_frame")
