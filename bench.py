@@ -16,6 +16,18 @@ import json
 import time
 
 
+
+
+def _sync(x):
+    """True device sync: fetch the value to host. jax.block_until_ready
+    returns immediately through the axon remote relay (observed 2026-08-17:
+    0.05 ms on a multi-second computation), so every timing must block by
+    actually TRANSFERRING bytes."""
+    import numpy as _np
+
+    return _np.asarray(x)
+
+
 def main() -> None:
     import jax
 
@@ -52,17 +64,17 @@ def main() -> None:
     # drive the first half of the sweep so the map is populated
     t_compile = time.time()
     ps, m = pipeline.step(ps, frames[0], cfg)
-    jax.block_until_ready(ps.map.frame_trans)
+    _sync(ps.map.frame_trans)
     compile_s = time.time() - t_compile
     for i in range(1, n_warm - 8):
         ps, m = pipeline.step(ps, frames[i], cfg)
-    jax.block_until_ready(ps.map.frame_trans)
+    _sync(ps.map.frame_trans)
 
     n_eager = 8
     t0 = time.time()
     for i in range(n_eager):
         ps, m = pipeline.step(ps, frames[n_warm - 8 + i], cfg)
-    jax.block_until_ready(ps.map.frame_trans)
+    _sync(ps.map.frame_trans)
     eager_ms = (time.time() - t0) / n_eager * 1000
 
     # production shape: scan the sweep's second half inside one program.
@@ -80,14 +92,14 @@ def main() -> None:
     imgs = jnp.stack(frames[n_warm:])
     t_sc = time.time()
     ps2, errs = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     scan_compile_s = time.time() - t_sc
 
     n_timed = 2
     t0 = time.time()
     for _ in range(n_timed):
         ps2, errs = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     scan_ms = (time.time() - t0) / (n_timed * n_timed_frames) * 1000
 
     fps = 1000.0 / scan_ms

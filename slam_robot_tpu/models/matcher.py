@@ -537,13 +537,33 @@ def track(
 
         # cache the new view's reference patch stacks once — feat_px for a
         # stored view never changes, so every later frame's forward track
-        # reads these instead of re-extracting 6 levels x NF lanes
-        stacks = tracker_fused.get_patch_stacks(
-            new_pyr, feat_px[:, slot], cfg.patch_size
-        )
-        feat_refpack = ms.feat_refpack.at[:, slot].set(
-            tracker_fused.pack_stacks(stacks)
-        )
+        # reads these instead of re-extracting 6 levels x NF lanes.
+        # COMPACTED: only lanes stored in this view (matched < min_matches
+        # by the keyframe trigger, plus <= max_corners fresh seeds) are
+        # ever read from this slot, so extract just those. Patch
+        # extraction is a row gather (~1.4 us/row, PERF.md); at NF=256 x
+        # 6 levels the uncompacted refresh was ~2 ms per keyframe — the
+        # dominant keyframe cost at exploration cadence.
+        kneed = min(NF, -(-(cfg.min_matches + cfg.max_corners + 32) // 64) * 64)
+        if kneed < NF:
+            need = feat_valid[:, slot]
+            ksel = jnp.argsort(~need)[:kneed]     # needed lanes first
+            kmask = need[ksel]
+            stacks = tracker_fused.get_patch_stacks(
+                new_pyr, feat_px[ksel, slot], cfg.patch_size
+            )
+            packed = tracker_fused.pack_stacks(stacks)
+            wdest = jnp.where(kmask, ksel, NF)    # OOB drops
+            feat_refpack = ms.feat_refpack.at[wdest, slot].set(
+                packed, mode="drop"
+            )
+        else:
+            stacks = tracker_fused.get_patch_stacks(
+                new_pyr, feat_px[:, slot], cfg.patch_size
+            )
+            feat_refpack = ms.feat_refpack.at[:, slot].set(
+                tracker_fused.pack_stacks(stacks)
+            )
 
         ms = ms._replace(
             view_frame=view_frame,

@@ -89,10 +89,20 @@ def pyr_down(img, interpret: bool = False):
     no pad-gather can fuse into it; in-Mosaic strided access is still
     unsupported). Drop-in for ops/pyramid.pyr_down."""
     img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape
     k = (jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0).reshape(1, -1)
     full = _call(img, k, interpret)
-    # barrier: left to itself XLA fuses this strided slice across the next
-    # pallas_call's operand boundary into a computed-index gather
-    # (~780 us/frame trace-measured); fenced off it lowers as a plain
-    # strided copy (~1 us)
-    return jax.lax.optimization_barrier(full[::2, ::2])
+    # decimation WITHOUT a strided slice: a plain full[::2, ::2] here
+    # lowers to a 76k-element computed-index gather costing ~780 us/frame
+    # (trace-measured; an optimization_barrier does not prevent it). Rows
+    # decimate as a contiguous reshape + static slice; columns (the lane
+    # dimension, where stride-2 is the pathological case) via a 0/1
+    # selection matmul on the MXU (~98 MFLOP at level 0 — microseconds).
+    ho, wo = (h + 1) // 2, (w + 1) // 2
+    rows = full.reshape(ho, 2, w)[:, 0, :] if h % 2 == 0 else (
+        jnp.concatenate([full, full[-1:]], 0).reshape(ho, 2, w)[:, 0, :]
+    )
+    csel = (jnp.arange(w)[:, None] == 2 * jnp.arange(wo)[None, :]).astype(
+        jnp.float32
+    )
+    return jnp.matmul(rows, csel, precision=jax.lax.Precision.HIGHEST)

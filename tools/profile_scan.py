@@ -21,6 +21,18 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+
+
+def _sync(x):
+    """True device sync: fetch the value to host. jax.block_until_ready
+    returns immediately through the axon remote relay (observed 2026-08-17:
+    0.05 ms on a multi-second computation), so every timing must block by
+    actually TRANSFERRING bytes."""
+    import numpy as _np
+
+    return _np.asarray(x)
+
+
 def run_variant(name, cfg, frames, n_warm, run_slam=True):
     import jax
     import jax.numpy as jnp
@@ -33,7 +45,7 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
     t0 = time.time()
     for i in range(n_warm):
         ps, _ = pipeline.step(ps, frames[i], cfg, run_slam=run_slam)
-    jax.block_until_ready(ps.map.frame_trans)
+    _sync(ps.map.frame_trans)
     warm_s = time.time() - t0
 
     @jax.jit
@@ -49,14 +61,14 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
     n_timed_frames = imgs.shape[0]
     t0 = time.time()
     ps2, (errs, nm, kf) = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     compile_s = time.time() - t0
 
     n_rep = 2
     t0 = time.time()
     for _ in range(n_rep):
         ps2, (errs, nm, kf) = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     ms = (time.time() - t0) / (n_rep * n_timed_frames) * 1000
 
     m2 = ps2.map

@@ -25,6 +25,18 @@ STATE_CACHE = "/tmp/bench_state.npz"
 TRACE_DIR = "/tmp/jaxtrace"
 
 
+
+
+def _sync(x):
+    """True device sync: fetch the value to host. jax.block_until_ready
+    returns immediately through the axon remote relay (observed 2026-08-17:
+    0.05 ms on a multi-second computation), so every timing must block by
+    actually TRANSFERRING bytes."""
+    import numpy as _np
+
+    return _np.asarray(x)
+
+
 def get_state(cfg, frames, n_warm, refresh=False):
     import jax
     import jax.numpy as jnp
@@ -43,7 +55,7 @@ def get_state(cfg, frames, n_warm, refresh=False):
     t0 = time.time()
     for i in range(n_warm):
         ps, _ = pipeline.step(ps, frames[i], cfg)
-    jax.block_until_ready(ps.map.frame_trans)
+    _sync(ps.map.frame_trans)
     print(f"state: bootstrapped in {time.time()-t0:.0f}s", flush=True)
     leaves = jax.tree_util.tree_leaves(ps)
     np.savez(STATE_CACHE, **{f"a{i}": np.asarray(x)
@@ -86,18 +98,18 @@ def main():
     # compile + one warm rep outside the trace
     t0 = time.time()
     _, errs = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     print(f"compile+first: {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     _, errs = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     ms = (time.time() - t0) / n_timed * 1000
     print(f"scan: {ms:.2f} ms/frame", flush=True)
 
     os.system(f"rm -rf {TRACE_DIR}")
     jax.profiler.start_trace(TRACE_DIR)
     _, errs = run_scan(ps, imgs)
-    jax.block_until_ready(errs)
+    _sync(errs)
     jax.profiler.stop_trace()
 
     planes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
