@@ -166,11 +166,29 @@ class SlamConfig:
                                        # assembly bills all max_points
                                        # every LM iteration. Overflow
                                        # solves as const (graceful). 0
-                                       # disables; the slow window stays
-                                       # uncompacted (it can free most of
-                                       # the map)
-    ba_ftol: float = 1e-7              # slam.cpp:494
-    ba_ftol_fine: float = 1e-9         # slam.cpp:498
+                                       # disables
+    ba_free_points_slow: int = 768     # same for the slow (10,20) window;
+                                       # it can free most of the map late
+                                       # in a run, but compaction priority
+                                       # is newest-first so overflow
+                                       # demotes the oldest, already-
+                                       # converged landmarks to const for
+                                       # that solve
+    ba_ftol: float = 1e-6              # function_tolerance. The reference
+                                       # passes 1e-7 to Ceres (slam.cpp:494)
+                                       # under f64; in f32 a relative cost
+                                       # change of 1e-7 is BELOW machine
+                                       # epsilon (1.2e-7), so the exit can
+                                       # never fire and every window burns
+                                       # its full iteration cap (trace:
+                                       # fast window = 20/20 iters every
+                                       # frame). 1e-6 is the tightest
+                                       # f32-representable band (3e-6
+                                       # measured faster BA but ATE 1.0 ->
+                                       # 1.8%% via keyframe-cadence shift)
+    ba_ftol_fine: float = 1e-9         # slam.cpp:498 (final --final-ba
+                                       # polish; kept reference-exact, the
+                                       # stall/xtol exits bound it)
     frame_dist_weight: float = 0.1     # FrameDistance residual (slam.cpp:100)
     frame_dist_loss: float = 15.0      # CauchyLoss(15) (slam.cpp:404)
     camera_loss: float = 5.0           # CauchyLoss(5) on intrinsics (slam.cpp:463)

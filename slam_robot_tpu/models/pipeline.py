@@ -122,6 +122,7 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                 m, res = slam.solve_frames(
                     m, cfg.solve_slow[0], cfg.solve_slow[1], cfg.ba_range, cfg,
                     max_iters=cfg.ba_iters_slow,
+                    max_free_points=cfg.ba_free_points_slow,
                 )
                 m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
                 t = lm.clamp_pending(m, cfg.homogeneous_w_min)

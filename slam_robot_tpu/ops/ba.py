@@ -218,7 +218,10 @@ def solve(
     # degrades gracefully: points past capacity solve as const.
     if cfg.max_free_points and cfg.max_free_points < P:
         PW = cfg.max_free_points
-        rank = jnp.cumsum(free_p) - 1
+        # newest-first priority: points are appended in creation order, so
+        # on overflow the OLDEST (best-converged) free points are the ones
+        # demoted to const, not the fresh seeds that need solving
+        rank = jnp.cumsum(free_p[::-1])[::-1] - 1
         free_p = free_p & (rank < PW)
         pslot_of = jnp.where(free_p, rank, PW).astype(jnp.int32)
         obs_pc = pslot_of[p_idx]            # [O]; PW = dropped column

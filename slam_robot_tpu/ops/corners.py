@@ -89,33 +89,41 @@ def detect(img, max_corners: int = 120, quality: float = 0.01,
     peak = (r >= rmax) & (r > thresh)
     score = jnp.where(peak, r, -jnp.inf)
 
-    # top-K candidates by response
+    # top-K candidates by response. approx_max_k uses the TPU's hardware
+    # partial-reduce (a full top_k lowers to a 307k-element stable SORT,
+    # ~380 us per keyframe); recall ~0.95 on the tail only perturbs
+    # candidates far below the acceptance cutoff. Other backends lower it
+    # exactly.
     flat = score.reshape(-1)
-    vals, idx = lax.top_k(flat, candidates)
+    vals, idx = lax.approx_max_k(flat, candidates)
     cy = (idx // w).astype(jnp.float32)
     cx = (idx % w).astype(jnp.float32)
     cand = jnp.stack([cx, cy], axis=1)
     cand_ok = jnp.isfinite(vals)
 
-    # greedy min-distance acceptance in response order
+    # greedy min-distance acceptance in response order. The clash matrix
+    # is precomputed so each of the `candidates` sequential steps is two
+    # [K]-vector ops and no gather/scatter (the slot-scatter body cost
+    # ~0.9 ms per keyframe).
     md2 = min_distance * min_distance
+    d2 = jnp.sum((cand[:, None, :] - cand[None, :, :]) ** 2, axis=-1)
+    clash = d2 < md2
+    eye = jnp.eye(candidates, dtype=bool)
 
-    def body(carry, i):
-        accepted, acc_pts, n_acc = carry
-        p = cand[i]
-        d2 = jnp.sum((acc_pts - p) ** 2, axis=1)
-        clash = jnp.any(accepted & (d2 < md2))
-        take = cand_ok[i] & ~clash & (n_acc < max_corners)
-        slot = jnp.where(take, n_acc, max_corners)
-        accepted = accepted.at[slot].set(True, mode="drop")
-        acc_pts = acc_pts.at[slot].set(p, mode="drop")
-        return (accepted, acc_pts, n_acc + take.astype(jnp.int32)), None
+    def body(carry, xs):
+        acc, n_acc = carry
+        clash_row, one_row, oki = xs
+        take = oki & ~jnp.any(acc & clash_row) & (n_acc < max_corners)
+        acc = acc | (one_row & take)
+        return (acc, n_acc + take.astype(jnp.int32)), None
 
-    accepted0 = jnp.zeros(max_corners, bool)
-    pts0 = jnp.full((max_corners, 2), 1e9, jnp.float32)
-    (accepted, pts, _), _ = lax.scan(body, (accepted0, pts0, jnp.int32(0)),
-                                     jnp.arange(candidates))
-    pts = jnp.where(accepted[:, None], pts, 0.0)
+    (acc, _), _ = lax.scan(
+        body, (jnp.zeros(candidates, bool), jnp.int32(0)),
+        (clash, eye, cand_ok),
+    )
+    sel = jnp.argsort(~acc)[:max_corners]  # stable: response order
+    accepted = acc[sel]
+    pts = jnp.where(accepted[:, None], cand[sel], 0.0)
     return pts, accepted
 
 

@@ -208,10 +208,11 @@ def test_free_point_compaction_matches_uncompacted():
         rtol=1e-4, atol=1e-4,
     )
 
-    # capacity 8 < 20 free points: the first 8 solve, the rest stay const
+    # capacity 8 < 20 free points: priority is newest-first, so the LAST
+    # 8 points solve and the older 12 stay const
     part, res2 = slam.solve_frames(s, 0, 6, 2.0, CFG, max_free_points=8)
     assert bool(res2.ok)
     moved = np.any(
         np.asarray(part.point_loc) != np.asarray(s.point_loc), axis=1
     )
-    assert moved[:8].all() and not moved[8:20].any()
+    assert moved[12:20].all() and not moved[:12].any()
