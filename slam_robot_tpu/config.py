@@ -114,6 +114,32 @@ class SlamConfig:
                                    # default; cycle remains for workloads
                                    # with expensive per-sweep costs
     retry_sweeps: int = 1          # extra per-frame attempts in cycle mode
+    adaptive_fwd_px: float = 0.0   # SHARP-lane shallow tracking: a lane
+                                   # that matched last frame within this
+                                   # many px of its projection prediction
+                                   # runs its next first-choice attempt at
+                                   # ONE pyramid level both ways; failures
+                                   # fall through to the same frame's
+                                   # full-budget retry pass. 0 disables
+                                   # (reference budgets). MEASURED OFF:
+                                   # at 2.0 the bench gained no speed
+                                   # (bucket savings offset by retry-pass
+                                   # fallthrough + map churn) and ATE went
+                                   # 1.0 -> 3.9%% — the 1-level backward
+                                   # gate admits marginal matches, the
+                                   # same failure mode as
+                                   # roundtrip_levels=1
+    find_fail_give_up: int = 16    # drop a feature lane after this many
+                                   # consecutive all-attempts-failed due
+                                   # frames (0 = never, the reference
+                                   # retries forever, matcher.cpp:221-248).
+                                   # A lane that failed every stored view
+                                   # 16 times across 64 frames (backoff 4)
+                                   # has left the field of view; its map
+                                   # point stays, only the tracker slot
+                                   # frees. Persistent stragglers were
+                                   # ~2 ms/frame of retry sweeps while
+                                   # exploring (trace-measured)
     retry_escalate_margin: int = 16  # cycle mode: if the cycled retries
                                    # still leave fewer than min_matches +
                                    # margin lanes matched, fall back to
@@ -156,7 +182,10 @@ class SlamConfig:
                                        # 20/30 (the "windowed drift" wasn't
                                        # window myopia at all)
     ba_iters_slow: int = 30            # periodic window (10,20)
-    window_obs_fast: int = 1024        # obs tail slice for the fast window
+    window_obs_fast: int = 768         # obs tail slice for the fast window
+                                       # (5 presented frames x <=120 obs
+                                       # plus margin; the einsum O axis
+                                       # bills every row each LM iter)
     ba_free_points_fast: int = 512     # free-landmark slot capacity for the
                                        # fast window's assembly tensors
                                        # (ops/ba.py max_free_points): the
@@ -196,7 +225,9 @@ class SlamConfig:
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
     cheirality_eps: float = 0.001      # project.h:27
-    window_obs: int = 4096             # obs-table tail slice for window BA
+    window_obs: int = 3072             # obs-table tail slice for window BA
+                                       # (20 presented frames x <=120 obs
+                                       # plus margin)
                                        # (covers >= 20 frames x 120 obs)
     reproject_window: int = 4096       # maintenance reproject tail rows
                                        # (0 = full table, the reference's

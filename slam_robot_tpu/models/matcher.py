@@ -58,6 +58,12 @@ class MatcherState(NamedTuple):
     feat_fail: jnp.ndarray    # [NF] int32 consecutive frames where every
                               # stored-view attempt failed (0 = matched or
                               # untried); drives cfg.find_fail_backoff
+    feat_sharp: jnp.ndarray   # [NF] bool: last frame this lane matched
+                              # within cfg.adaptive_fwd_px of its
+                              # projection prediction — its next
+                              # first-choice attempt runs at 1 pyramid
+                              # level (the coarse cascade exists for
+                              # starts outside the level-0 Newton basin)
 
 
 def init(cfg: SlamConfig) -> MatcherState:
@@ -72,6 +78,7 @@ def init(cfg: SlamConfig) -> MatcherState:
         feat_valid=jnp.zeros((NF, V), bool),
         feat_refpack=jnp.zeros((NF, V, L, 2 * S * S + 2), jnp.float32),
         feat_fail=jnp.zeros((NF,), jnp.int32),
+        feat_sharp=jnp.zeros((NF,), bool),
     )
 
 
@@ -197,18 +204,37 @@ def track(
         bwd_cap = (jnp.int32(cfg.roundtrip_levels)
                    if cfg.roundtrip_levels > 0 else None)
 
+        def cap_b(x):
+            return x if bwd_cap is None else jnp.minimum(x, bwd_cap)
+
+        unsure_arr = jnp.full((NF,), cfg.levels_unsure, jnp.int32)
+        if cfg.adaptive_fwd_px > 0:
+            # SHARP lanes (matched last frame within adaptive_fwd_px of
+            # the projection prediction) run their first-choice attempt at
+            # ONE level both ways; any failure falls through to the same
+            # frame's full-budget retry pass
+            sharp_ok = ms.feat_sharp & (lvls3 != cfg.levels_unsure)
+            lvls_first = jnp.where(sharp_ok, 1, lvls3).astype(jnp.int32)
+            bwd_first = cap_b(lvls_first)
+        else:
+            lvls_first = lvls3
+            bwd_first = cap_b(lvls3)
+
         def make_sweep(start_pred_, use_pred_, due_):
-          def sweep(matched, to_px, vi_lane, has, lvls_arr):
+          def sweep(matched, to_px, vi_lane, has, lvls_arr, bwd_arr=None):
             """One fused tracker sweep: per-lane view pick ``vi_lane``,
-            eligibility ``has``, per-lane level budgets ``lvls_arr``."""
+            eligibility ``has``, per-lane forward level budgets
+            ``lvls_arr`` (backward ``bwd_arr``, default capped forward)."""
             from_pt = ms.feat_px[lanes, vi_lane]
             cand = live & due_ & ~matched & has
             start = jnp.where(use_pred_[:, None], start_pred_, from_pt)
             cand = cand & in_image(start, cfg)
             view_levels = _view_pyramid(ms, vi_lane, cfg)  # per-lane offset
 
+            bwd = cap_b(lvls_arr) if bwd_arr is None else bwd_arr
+
             def run(args):
-                from_pt, start, lvls, cand = args
+                from_pt, start, lvls, bwd, cand = args
                 S2 = cfg.patch_size * cfg.patch_size
                 # each lane's view pick is FIXED within a sweep, so the
                 # packed cache is gathered ONCE per sweep ([NF, L, D] rows);
@@ -221,16 +247,16 @@ def track(
                     cfg.track_threshold, cfg.track_max_iters,
                     cfg.roundtrip_px, active=cand,
                     p1_packed=packed_sel, p1_stats0=stats0,
-                    bwd_lvls=(None if bwd_cap is None
-                              else jnp.minimum(lvls, bwd_cap)),
+                    bwd_lvls=bwd,
                 )
 
             def skip(args):
-                from_pt, _, _, _ = args
+                from_pt, _, _, _, _ = args
                 return from_pt, jnp.zeros((NF,), bool)
 
             res_px, res_ok = jax.lax.cond(
-                jnp.any(cand), run, skip, (from_pt, start, lvls_arr, cand)
+                jnp.any(cand), run, skip,
+                (from_pt, start, lvls_arr, bwd, cand),
             )
             newly = cand & res_ok
             return matched | newly, jnp.where(newly[:, None], res_px, to_px)
@@ -259,7 +285,8 @@ def track(
             def run_find(matched0, to_px0, start_pred_, use_pred_):
                 sweep = make_sweep(start_pred_, use_pred_, due)
                 matched, to_px = sweep(
-                    matched0, to_px0, lane_order[:, 0], has_rank[:, 0], lvls3
+                    matched0, to_px0, lane_order[:, 0], has_rank[:, 0],
+                    lvls_first, bwd_first,
                 )
                 for s in range(cfg.retry_sweeps):
                     cyc = jnp.mod(ms.feat_fail + s, jnp.maximum(n_att, 1))
@@ -329,11 +356,18 @@ def track(
                         jnp.ones((NF,), bool),
                         lvls3 != cfg.levels_unsure,
                     )
+                    # the sharp 1-level shortcut only applies to the very
+                    # first attempt; later rungs mean it already failed
+                    first = (rank == 0) & (retry_pass == 0)
                     lvls_arr = jnp.where(
-                        retry_pass == 0, lvls3, jnp.int32(cfg.levels_unsure)
+                        retry_pass == 0,
+                        jnp.where(first, lvls_first, lvls3),
+                        unsure_arr,
                     ).astype(jnp.int32)
+                    bwd_arr = jnp.where(first, bwd_first, cap_b(lvls_arr))
                     matched, to_px = sweep(
-                        *carry, lane_order[:, rank], has & pass_ok, lvls_arr
+                        *carry, lane_order[:, rank], has & pass_ok,
+                        lvls_arr, bwd_arr,
                     )
                     return (matched, to_px), None
 
@@ -471,10 +505,25 @@ def track(
 
     # consecutive-failure streaks: matched lanes reset; lanes that were due
     # and still failed every attempt increment; backed-off lanes hold
+    feat_fail = jnp.where(
+        matched, 0, jnp.where(live & due, ms.feat_fail + 1, ms.feat_fail)
+    ).astype(jnp.int32)
+    feat_point = ms.feat_point
+    if cfg.find_fail_give_up > 0:
+        # drop lanes whose every stored-view attempt failed give_up
+        # consecutive due frames: they have left the view frustum and
+        # only bill the retry ladder. The map point survives; a revisit
+        # re-seeds a fresh corner.
+        gone = feat_point >= 0
+        gone = gone & (feat_fail >= cfg.find_fail_give_up)
+        feat_point = jnp.where(gone, -1, feat_point)
+    if cfg.adaptive_fwd_px > 0:
+        inno = jnp.linalg.norm(to_px - start_pred, axis=-1)
+        feat_sharp = matched & use_pred & (inno < cfg.adaptive_fwd_px)
+    else:
+        feat_sharp = jnp.zeros((NF,), bool)
     ms = ms._replace(
-        feat_fail=jnp.where(
-            matched, 0, jnp.where(live & due, ms.feat_fail + 1, ms.feat_fail)
-        ).astype(jnp.int32)
+        feat_fail=feat_fail, feat_point=feat_point, feat_sharp=feat_sharp
     )
 
     # 4. keyframe branch (matcher.cpp:353-402)

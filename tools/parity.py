@@ -55,6 +55,8 @@ CFG_KW = dict(
     # backward cascade, not the rate-limited production defaults
     retry_mode="ladder",
     roundtrip_levels=0,
+    find_fail_give_up=0,
+    adaptive_fwd_px=0.0,
 )
 
 
