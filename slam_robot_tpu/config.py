@@ -43,6 +43,14 @@ class SlamConfig:
                                    # features (measured) at -30% step time
                                    # — a batched while runs to the slowest
                                    # lane, so stragglers bill everyone
+    track_iters_coarse: int = 0    # Newton budget at levels > 0 (0 =
+                                   # uniform track_max_iters, the
+                                   # reference behavior). MEASURED OFF at
+                                   # 4: saved ~1 ms/frame but bench ATE
+                                   # 0.93 -> 2.18%% — a coarse level that
+                                   # stops short can hand the fine level
+                                   # the wrong basin, and those matches
+                                   # still pass the roundtrip gate
     roundtrip_px: float = 0.3      # fwd/bwd consistency gate (matcher.cpp:201)
     mask_bias: float = 15.0        # radial weight 1/(15+r^2) (hessian.h:18)
     blur_sigma0: float = 1.1       # level-0 Gaussian (hessian.h:102)
@@ -229,7 +237,7 @@ class SlamConfig:
                                        # (20 presented frames x <=120 obs
                                        # plus margin)
                                        # (covers >= 20 frames x 120 obs)
-    reproject_window: int = 4096       # maintenance reproject tail rows
+    reproject_window: int = 3072       # maintenance reproject tail rows
                                        # (0 = full table, the reference's
                                        # exact ReprojectMap; older rows'
                                        # errors only change when their

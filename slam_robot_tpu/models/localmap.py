@@ -411,30 +411,60 @@ def normalize(state: MapState, rescale: bool = False, baseline: float = 150.0) -
 
     t0 = state.frame_trans[0]
     q0 = state.frame_quat[0]
-    scale = jnp.where(
-        rescale,
-        baseline / jnp.maximum(jnp.linalg.norm(t0 - state.frame_trans[1]), 1e-9),
-        1.0,
-    ).astype(state.frame_trans.dtype)
-
-    fm = state.frame_mask[:, None]
-    new_t = quat.rotate(q0, (state.frame_trans - t0) * scale)
-    new_q = quat.normalize(quat.multiply(state.frame_quat, quat.conjugate(q0)))
-
-    # Points: move(-T0) in world coords, rescale(1/scale), rotate xyz by R0
-    # (localmap.h:226-232, localmap.cpp:133-137,150-153).
-    loc = state.point_loc
-    xyz = loc[..., :3] - t0 * loc[..., 3:4]
-    w = loc[..., 3:4] / scale
-    moved = jnp.concatenate([quat.rotate(q0, xyz), w], axis=-1)
-    moved = moved / jnp.maximum(jnp.linalg.norm(moved, axis=-1, keepdims=True), 1e-12)
     pm = state.point_mask[:, None]
 
-    return state._replace(
-        frame_trans=jnp.where(do & fm, new_t, state.frame_trans),
-        frame_quat=jnp.where(do & fm, new_q, state.frame_quat),
-        point_loc=jnp.where(do & pm, moved, state.point_loc),
+    # frame 0 is const in every window solve, so in steady state the
+    # anchor transform is EXACTLY identity (its stored bits never change)
+    # and the full path below reproduces the inputs bit-for-bit; the only
+    # real work left is the homogeneous unit-norm of the points (which
+    # clean's w-clamp threshold assumes). Skip the dead pose/point
+    # transform math in that case.
+    is_id = (
+        (jnp.abs(q0[3]) > 1.0 - 1e-7)
+        & (jnp.sum(jnp.abs(q0[:3])) + jnp.sum(jnp.abs(t0)) < 1e-7)
+        & ~jnp.bool_(rescale)
     )
+
+    def fast(state):
+        loc = state.point_loc
+        unit = loc / jnp.maximum(
+            jnp.linalg.norm(loc, axis=-1, keepdims=True), 1e-12
+        )
+        return state._replace(
+            point_loc=jnp.where(do & pm, unit, loc)
+        )
+
+    def full(state):
+        scale = jnp.where(
+            rescale,
+            baseline
+            / jnp.maximum(jnp.linalg.norm(t0 - state.frame_trans[1]), 1e-9),
+            1.0,
+        ).astype(state.frame_trans.dtype)
+
+        fm = state.frame_mask[:, None]
+        new_t = quat.rotate(q0, (state.frame_trans - t0) * scale)
+        new_q = quat.normalize(
+            quat.multiply(state.frame_quat, quat.conjugate(q0))
+        )
+
+        # Points: move(-T0) in world coords, rescale(1/scale), rotate xyz
+        # by R0 (localmap.h:226-232, localmap.cpp:133-137,150-153).
+        loc = state.point_loc
+        xyz = loc[..., :3] - t0 * loc[..., 3:4]
+        w = loc[..., 3:4] / scale
+        moved = jnp.concatenate([quat.rotate(q0, xyz), w], axis=-1)
+        moved = moved / jnp.maximum(
+            jnp.linalg.norm(moved, axis=-1, keepdims=True), 1e-12
+        )
+
+        return state._replace(
+            frame_trans=jnp.where(do & fm, new_t, state.frame_trans),
+            frame_quat=jnp.where(do & fm, new_q, state.frame_quat),
+            point_loc=jnp.where(do & pm, moved, state.point_loc),
+        )
+
+    return jax.lax.cond(is_id, fast, full, state)
 
 
 def estimate_motion(state: MapState, frame_idx):

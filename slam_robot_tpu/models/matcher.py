@@ -239,13 +239,27 @@ def track(
                 # each lane's view pick is FIXED within a sweep, so the
                 # packed cache is gathered ONCE per sweep ([NF, L, D] rows);
                 # every level then reads it with a static slice (full-F
-                # bucket) or a C-row gather (compacted buckets)
-                packed_sel = ms.feat_refpack[lanes, vi_lane]
+                # bucket) or a C-row gather (compacted buckets). COMMON
+                # CASE: every candidate lane picks the SAME view (rank-0
+                # after a keyframe stored them all) — then ONE dynamic
+                # slice replaces the NF-row gather (~0.4 ms, PERF.md
+                # gather economics); only lanes in `cand` are ever read,
+                # so non-candidate rows may hold the uniform view's data
+                v0 = vi_lane[jnp.argmax(cand)]
+                uniform = jnp.all(jnp.where(cand, vi_lane, v0) == v0)
+                packed_sel = jax.lax.cond(
+                    uniform,
+                    lambda: jax.lax.dynamic_index_in_dim(
+                        ms.feat_refpack, v0, axis=1, keepdims=False
+                    ),
+                    lambda: ms.feat_refpack[lanes, vi_lane],
+                )
                 stats0 = packed_sel[:, 0, 2 * S2:]
                 return tracker_fused.track_bidirectional_batch(
                     view_levels, new_pyr, from_pt, start, lvls, weight,
                     cfg.track_threshold, cfg.track_max_iters,
-                    cfg.roundtrip_px, active=cand,
+                    iters_coarse=cfg.track_iters_coarse,
+                    roundtrip_px=cfg.roundtrip_px, active=cand,
                     p1_packed=packed_sel, p1_stats0=stats0,
                     bwd_lvls=bwd,
                 )

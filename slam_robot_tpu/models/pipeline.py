@@ -150,7 +150,14 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
 
             m, err1 = jax.lax.cond(touched, recompute, reuse, m)
             m = lm.normalize(m)
-            m, err2 = lm.reproject(m, cfg.cheirality_eps, window=rw)
+            # post-normalize ReprojectMap (main.cpp:604): Normalize is a
+            # similarity transform — reprojection errors are INVARIANT
+            # (the very property the reference CHECKs to +-0.1). The
+            # stored errors are therefore still the recompute; re-run the
+            # real projection only where geometry moved (w-clamp) or on
+            # slow-window frames, which keeps normalize_err_drift a live
+            # guard at the slow cadence instead of every frame
+            m, err2 = jax.lax.cond(touched | slow_due, recompute, reuse, m)
             if cfg.drop_idle_frames:
                 # the reference declares but never calls this
                 # (localmap.cpp:173-187); opt-in behavior

@@ -120,6 +120,7 @@ def _unpack(pk, S: int):
 def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                         pts, lvls, weight, threshold: float = 0.001,
                         max_iters: int = 10, active=None,
+                        iters_coarse: int = 0,
                         backend: str | None = None,
                         ref_pyr: FlatPyramid | None = None, ref_pts=None,
                         packed=None, packed_view_idx=None):
@@ -218,7 +219,11 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                     win, posC, org, refd, refv, refm, refs,
                     takeC.astype(jnp.float32), weight,
                     jnp.broadcast_to(bounds_val, (C, 2)),
-                    threshold=float(threshold), max_iters=int(max_iters),
+                    threshold=float(threshold),
+                    # coarse levels only need to land within the next
+                    # level's capture basin; level 0 gets the full budget
+                    max_iters=int(max_iters if _i == 0 or not iters_coarse
+                                  else min(iters_coarse, max_iters)),
                     size=S, backend=backend,
                 )
                 if compact:
@@ -264,6 +269,7 @@ def get_patch_stacks(pyr: FlatPyramid, pts, size: int = 13) -> patch_ops.Patch:
 def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               from_pt, init_to_pt, lvls, weight,
                               threshold: float = 0.001, max_iters: int = 10,
+                              iters_coarse: int = 0,
                               roundtrip_px: float = 0.3,
                               min_variance: float = 1e-5,
                               active=None, backend: str | None = None,
@@ -289,6 +295,7 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     if p1_packed is not None:
         to_pt, ok1 = track_feature_batch(
             pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,
+            iters_coarse=iters_coarse,
             active=active, backend=backend, packed=p1_packed,
             packed_view_idx=p1_view_idx,
         )
@@ -304,6 +311,7 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     else:
         to_pt, ok1 = track_feature_batch(
             pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,
+            iters_coarse=iters_coarse,
             active=active, backend=backend, ref_pyr=pyr_from,
             ref_pts=from_pt,
         )
@@ -315,7 +323,7 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     # per level only where the backward cascade actually runs
     back_pt, ok2 = track_feature_batch(
         pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
-        weight, threshold, max_iters,
+        weight, threshold, max_iters, iters_coarse=iters_coarse,
         active=ok1, backend=backend, ref_pyr=pyr_to, ref_pts=to_pt,
     )
 

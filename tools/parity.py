@@ -57,6 +57,7 @@ CFG_KW = dict(
     roundtrip_levels=0,
     find_fail_give_up=0,
     adaptive_fwd_px=0.0,
+    track_iters_coarse=0,
 )
 
 

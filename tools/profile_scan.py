@@ -53,21 +53,22 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
         def body(ps, img):
             ps, met = pipeline.step(ps, img, cfg, run_slam=run_slam)
             return ps, (met["mean_reproj_err"], met["n_matches"],
-                        met["is_keyframe"])
+                        met["is_keyframe"], met["fast_iters"],
+                        met["slow_iters"])
 
         return jax.lax.scan(body, ps, imgs)
 
     imgs = jnp.stack(frames[n_warm:])
     n_timed_frames = imgs.shape[0]
     t0 = time.time()
-    ps2, (errs, nm, kf) = run_scan(ps, imgs)
+    ps2, (errs, nm, kf, fit, sit) = run_scan(ps, imgs)
     _sync(errs)
     compile_s = time.time() - t0
 
     n_rep = 2
     t0 = time.time()
     for _ in range(n_rep):
-        ps2, (errs, nm, kf) = run_scan(ps, imgs)
+        ps2, (errs, nm, kf, fit, sit) = run_scan(ps, imgs)
     _sync(errs)
     ms = (time.time() - t0) / (n_rep * n_timed_frames) * 1000
 
@@ -93,6 +94,8 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
         "n_points": int(m2.n_points),
         "mean_matches": round(float(np.asarray(nm).mean()), 1),
         "keyframes_in_scan": int(np.asarray(kf).sum()),
+        "mean_fast_iters": round(float(np.asarray(fit).mean()), 1),
+        "mean_slow_iters": round(float(np.asarray(sit).mean()), 1),
     }
     print(json.dumps(out), flush=True)
     return out
@@ -136,6 +139,9 @@ def main():
             run_variant(name, cfg, frames, n_warm)
         elif name == "sweeps2":
             cfg = dataclasses.replace(base, retry_sweeps=2)
+            run_variant(name, cfg, frames, n_warm)
+        elif name.startswith("fast"):  # fastN = ba_iters_fast cap
+            cfg = dataclasses.replace(base, ba_iters_fast=int(name[4:]))
             run_variant(name, cfg, frames, n_warm)
         else:
             raise SystemExit(f"unknown variant {name}")
