@@ -430,8 +430,14 @@ def normalize(state: MapState, rescale: bool = False, baseline: float = 150.0) -
         unit = loc / jnp.maximum(
             jnp.linalg.norm(loc, axis=-1, keepdims=True), 1e-12
         )
+        # the full path renormalizes every frame quaternion as a side
+        # effect of composing with conj(q0); keep that (multiplying by an
+        # exact identity is exact, the renorm is not)
+        fm = state.frame_mask[:, None]
+        new_q = quat.normalize(state.frame_quat)
         return state._replace(
-            point_loc=jnp.where(do & pm, unit, loc)
+            frame_quat=jnp.where(do & fm, new_q, state.frame_quat),
+            point_loc=jnp.where(do & pm, unit, loc),
         )
 
     def full(state):
