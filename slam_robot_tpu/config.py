@@ -137,6 +137,20 @@ class SlamConfig:
                                    # gate admits marginal matches, the
                                    # same failure mode as
                                    # roundtrip_levels=1
+    find_fail_backoff_deep: int = 4  # extra rate limit for the 6-level
+                                   # retry passes (matcher.cpp:248): a
+                                   # straggler's deep retries are its
+                                   # costliest attempts (6 levels x both
+                                   # directions x every stored view) and
+                                   # its least likely to succeed; they
+                                   # re-attempt every k-th frame (slot-
+                                   # staggered) while the shallow passes
+                                   # follow find_fail_backoff. 1 =
+                                   # reference cadence (tools/parity.py).
+                                   # MEASURED: 8 saved ~0.2 ms but ATE
+                                   # 0.9 -> 2.0%% — slower 6-level seed
+                                   # recovery starves fresh landmarks;
+                                   # 4 (= the shallow cadence) is neutral
     find_fail_give_up: int = 16    # drop a feature lane after this many
                                    # consecutive all-attempts-failed due
                                    # frames (0 = never, the reference

@@ -148,6 +148,14 @@ def track(
         )
     else:
         due = jnp.ones((NF,), bool)
+    if cfg.find_fail_backoff_deep > 1:
+        # the 6-level retry passes re-attempt on their own slower cadence
+        due_deep = (ms.feat_fail == 0) | (
+            jnp.mod(frame_idx + jnp.arange(NF),
+                    cfg.find_fail_backoff_deep) == 0
+        )
+    else:
+        due_deep = jnp.ones((NF,), bool)
 
     # prediction inputs for the *current* frame pose
     fq = map_state.frame_quat[frame_idx]
@@ -365,10 +373,14 @@ def track(
                 def find_step(carry, xs):
                     rank, retry_pass = xs
                     has = key_sorted[:, rank] >= 0
+                    # any 6-level attempt (retry pass, or an unsure lane's
+                    # first pass when it is already failing) follows the
+                    # deep cadence
                     pass_ok = jnp.where(
                         retry_pass == 0,
-                        jnp.ones((NF,), bool),
-                        lvls3 != cfg.levels_unsure,
+                        jnp.where(lvls3 == cfg.levels_unsure, due_deep,
+                                  jnp.ones((NF,), bool)),
+                        (lvls3 != cfg.levels_unsure) & due_deep,
                     )
                     # the sharp 1-level shortcut only applies to the very
                     # first attempt; later rungs mean it already failed

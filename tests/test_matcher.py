@@ -247,7 +247,10 @@ def test_find_fail_backoff_rate_limits_and_recovers():
     texture returns (<= k-1 frames late)."""
     import dataclasses
 
-    cfg = dataclasses.replace(CFG, find_fail_backoff=4)
+    # deep cadence pinned equal: this test's lanes are unsure (6-level)
+    # seeds, and it exercises find_fail_backoff's schedule specifically
+    cfg = dataclasses.replace(CFG, find_fail_backoff=4,
+                              find_fail_backoff_deep=4)
     # min_matches=0 disables keyframing after the seed frame so the failing
     # lanes persist instead of being recycled
     cfg_nokf = dataclasses.replace(cfg, min_matches=0)

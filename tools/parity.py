@@ -56,6 +56,7 @@ CFG_KW = dict(
     retry_mode="ladder",
     roundtrip_levels=0,
     find_fail_give_up=0,
+    find_fail_backoff_deep=1,
     adaptive_fwd_px=0.0,
     track_iters_coarse=0,
 )

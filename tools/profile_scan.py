@@ -143,6 +143,12 @@ def main():
         elif name.startswith("fast"):  # fastN = ba_iters_fast cap
             cfg = dataclasses.replace(base, ba_iters_fast=int(name[4:]))
             run_variant(name, cfg, frames, n_warm)
+        elif name.startswith("giveup"):
+            cfg = dataclasses.replace(base, find_fail_give_up=int(name[6:]))
+            run_variant(name, cfg, frames, n_warm)
+        elif name.startswith("bo"):  # boN = find_fail_backoff
+            cfg = dataclasses.replace(base, find_fail_backoff=int(name[2:]))
+            run_variant(name, cfg, frames, n_warm)
         else:
             raise SystemExit(f"unknown variant {name}")
 
