@@ -137,6 +137,19 @@ class SlamConfig:
                                    # gate admits marginal matches, the
                                    # same failure mode as
                                    # roundtrip_levels=1
+    bwd_ref_from_window: bool = True  # sample the backward-consistency
+                                   # pass's reference patches from the
+                                   # forward pass's own search windows
+                                   # (pure math) instead of re-extracting
+                                   # them from the new pyramid (~1.4 us
+                                   # per plane-slice row; ~1.6 ms/frame
+                                   # trace-measured). Identical values
+                                   # whenever the patch support lies in
+                                   # the forward window — support that
+                                   # drifted past the margin is masked
+                                   # invalid instead (those tracks were
+                                   # headed for a roundtrip reject).
+                                   # tools/parity.py pins False
     find_fail_backoff_deep: int = 4  # extra rate limit for the 6-level
                                    # retry passes (matcher.cpp:248): a
                                    # straggler's deep retries are its

@@ -270,6 +270,7 @@ def track(
                     roundtrip_px=cfg.roundtrip_px, active=cand,
                     p1_packed=packed_sel, p1_stats0=stats0,
                     bwd_lvls=bwd,
+                    bwd_ref_from_window=cfg.bwd_ref_from_window,
                 )
 
             def skip(args):

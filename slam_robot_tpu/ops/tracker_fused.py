@@ -117,13 +117,74 @@ def _unpack(pk, S: int):
     return refd, refv, pk[:, 2 * S * S], pk[:, 2 * S * S + 1]
 
 
+def _sample_from_windows(win, org, pt, w_img: float, h_img: float, size: int):
+    """Bilinear 13x13 patch at level coords ``pt`` from per-lane windows.
+
+    Mirrors ops/patch.extract semantics with the WINDOW as the pixel
+    source: support clamps to the window extent; validity requires the
+    bilinear support inside BOTH the true image and the window. Pure
+    vectorized math — no plane gathers (the whole point: a per-lane
+    dynamic_slice from an image plane costs ~1.4 us/row, PERF.md).
+
+    win [F,wh,ww], org [F,2] absolute level coords of win[0,0], pt [F,2].
+    Returns (data [F,S,S], valid [F,S,S] f32, mean [F], sumsq [F]).
+    """
+    F, wh, ww = win.shape
+    S = size
+    half = (S - 1) // 2
+    p = jnp.clip(jnp.nan_to_num(pt), -1e6, 1e6)
+    lx = p[:, 0] - org[:, 0]
+    ly = p[:, 1] - org[:, 1]
+    x0f = jnp.floor(lx)
+    y0f = jnp.floor(ly)
+    fx = lx - x0f
+    fy = ly - y0f
+    x0 = x0f.astype(jnp.int32) - half
+    y0 = y0f.astype(jnp.int32) - half
+    x0c = jnp.clip(x0, 0, ww - (S + 1))
+    y0c = jnp.clip(y0, 0, wh - (S + 1))
+
+    def banded(frac, start, length):
+        i = lax.broadcasted_iota(jnp.int32, (F, S, length), 1)
+        k = lax.broadcasted_iota(jnp.int32, (F, S, length), 2)
+        st = start[:, None, None]
+        fr = frac[:, None, None]
+        return (
+            jnp.where(k == i + st, 1.0 - fr, 0.0)
+            + jnp.where(k == i + st + 1, fr, 0.0)
+        )
+
+    rowm = banded(fy, y0c, wh)                      # [F,S,wh]
+    colm = banded(fx, x0c, ww).transpose(0, 2, 1)   # [F,ww,S]
+    bd = lambda a, b: lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))), precision=lax.Precision.HIGHEST
+    )
+    data = bd(bd(rowm, win), colm)                  # [F,S,S]
+
+    gi = lax.broadcasted_iota(jnp.int32, (F, S), 1)
+    gx = (x0 + org[:, 0].astype(jnp.int32))[:, None] + gi
+    gy = (y0 + org[:, 1].astype(jnp.int32))[:, None] + gi
+    vx = (gx >= 0) & (gx.astype(jnp.float32) + 1.0 <= w_img)
+    vy = (gy >= 0) & (gy.astype(jnp.float32) + 1.0 <= h_img)
+    wx = (x0[:, None] + gi >= 0) & (x0[:, None] + gi + 1 <= ww)
+    wyv = (y0[:, None] + gi >= 0) & (y0[:, None] + gi + 1 <= wh)
+    valid = (
+        (vy & wyv).astype(jnp.float32)[:, :, None]
+        * (vx & wx).astype(jnp.float32)[:, None, :]
+    )
+    mean = jnp.mean(data, axis=(1, 2))
+    sumsq = jnp.mean(data * data, axis=(1, 2))
+    return data, valid, mean, sumsq
+
+
 def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                         pts, lvls, weight, threshold: float = 0.001,
                         max_iters: int = 10, active=None,
                         iters_coarse: int = 0,
                         backend: str | None = None,
                         ref_pyr: FlatPyramid | None = None, ref_pts=None,
-                        packed=None, packed_view_idx=None):
+                        packed=None, packed_view_idx=None,
+                        return_windows: bool = False):
     """Batched TrackFeature (hessian.h:243-264): coarse-to-fine cascade with
     per-lane dynamic level counts. pts [F,2].
 
@@ -174,6 +235,7 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
 
     buckets = [c for c in (32, 64, 128) if c < F] + [F]
     lane_ids = jnp.arange(F)
+    windows = [None] * L  # per-level (win_full [F,wh,ww], org_full [F,2])
 
     for k in range(L):
         i = L - 1 - k
@@ -198,6 +260,25 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                 pyrC = FlatPyramid(pyr.data, pyr.heights, pyr.widths,
                                    pyr.depth_, offs[sel])
                 win, org = _gather_windows(pyrC, _i, posC, _wh, _ww)
+                if return_windows:
+                    # merge this bucket's windows back to full-F rows so
+                    # the caller can sample backward reference patches
+                    # from them without re-touching the image planes
+                    if compact:
+                        ohw = ((sel[None, :] == lane_ids[:, None])
+                               & takeC[None, :]).astype(jnp.float32)
+                        win_full = jnp.matmul(
+                            ohw, win.reshape(C, _wh * _ww),
+                            precision=lax.Precision.HIGHEST,
+                        ).reshape(F, _wh, _ww)
+                        org_full = jnp.matmul(
+                            ohw, org, precision=lax.Precision.HIGHEST
+                        )
+                    else:
+                        win_full, org_full = win, org
+                else:
+                    win_full = jnp.zeros((0,), jnp.float32)
+                    org_full = jnp.zeros((0,), jnp.float32)
                 if packed is not None:
                     if packed_view_idx is not None:
                         pk = packed[sel, packed_view_idx[sel], _i]
@@ -243,22 +324,33 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                 else:
                     pos = jnp.where(takeC[:, None], new_posC, pos)
                     status = jnp.where(takeC, stC, status)
-                return pos, status
+                return pos, status, win_full, org_full
 
             return run
 
-        def skip(args):
+        def skip(args, _wh=wh, _ww=ww):
             pos, status, _ = args
-            return pos, status
+            if return_windows:
+                return (pos, status, jnp.zeros((F, _wh, _ww), jnp.float32),
+                        jnp.zeros((F, 2), jnp.float32))
+            z = jnp.zeros((0,), jnp.float32)
+            return pos, status, z, z
 
         branches = [skip] + [run_at(C) for C in buckets]
         idx = sum((cnt > jnp.int32(t)).astype(jnp.int32)
                   for t in [0] + buckets[:-1])
-        pos, status = lax.switch(idx, branches, (pos, status, take))
+        pos, status, win_full, org_full = lax.switch(
+            idx, branches, (pos, status, take)
+        )
+        if return_windows:
+            windows[i] = (win_full, org_full)
         if i > 0:
             pos = jnp.where(lvl_on[:, None], pos * 2.0, pos)
 
-    return pos, (status == 0.0) & active
+    ok = (status == 0.0) & active
+    if return_windows:
+        return pos, ok, windows
+    return pos, ok
 
 
 def get_patch_stacks(pyr: FlatPyramid, pts, size: int = 13) -> patch_ops.Patch:
@@ -274,7 +366,8 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               min_variance: float = 1e-5,
                               active=None, backend: str | None = None,
                               p1_packed=None, p1_view_idx=None,
-                              p1_stats0=None, bwd_lvls=None):
+                              p1_stats0=None, bwd_lvls=None,
+                              bwd_ref_from_window: bool = False):
     """Batched forward/backward consistency tracking (matcher.cpp:173-206)
     with the fused level kernel; mirrors ops/tracker.track_bidirectional.
 
@@ -292,13 +385,19 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
     active = jnp.asarray(active, bool)
 
     S = int(weight.shape[0])
+    fwd_windows = None
     if p1_packed is not None:
-        to_pt, ok1 = track_feature_batch(
+        fwd = track_feature_batch(
             pyr_to, None, init_to_pt, lvls, weight, threshold, max_iters,
             iters_coarse=iters_coarse,
             active=active, backend=backend, packed=p1_packed,
             packed_view_idx=p1_view_idx,
+            return_windows=bwd_ref_from_window,
         )
+        if bwd_ref_from_window:
+            to_pt, ok1, fwd_windows = fwd
+        else:
+            to_pt, ok1 = fwd
         if p1_stats0 is not None:
             tex_mean, tex_sumsq = p1_stats0[:, 0], p1_stats0[:, 1]
         elif p1_view_idx is not None:
@@ -319,13 +418,37 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
         p0 = _extract_refs(pyr_from, 0, from_pt, offs, S)
         tex_mean, tex_sumsq = p0.mean, p0.sumsq
 
-    # backward: reference patches at the forward result in pyr_to, extracted
-    # per level only where the backward cascade actually runs
-    back_pt, ok2 = track_feature_batch(
-        pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
-        weight, threshold, max_iters, iters_coarse=iters_coarse,
-        active=ok1, backend=backend, ref_pyr=pyr_to, ref_pts=to_pt,
-    )
+    # backward: reference patches at the forward result in pyr_to
+    if fwd_windows is not None:
+        # sample them from the forward pass's own (merged) level windows —
+        # per-lane plane slices cost ~1.4 us/row while flat-table reads
+        # are ~free (PERF.md), so this removes every backward extraction
+        # gather. Support that drifted past the window margin is masked
+        # invalid (it was headed for a roundtrip reject anyway).
+        dims = _static_dims(pyr_to)
+        cols = []
+        for lv, wo in enumerate(fwd_windows):
+            winl, orgl = wo
+            h, w = dims[lv]
+            d, v, m, sq = _sample_from_windows(
+                winl, orgl, to_pt / (2.0 ** lv), float(w), float(h), S
+            )
+            cols.append(jnp.concatenate(
+                [d.reshape(F, S * S), v.reshape(F, S * S),
+                 m[:, None], sq[:, None]], axis=-1,
+            ))
+        packed_bwd = jnp.stack(cols, axis=1)  # [F, L, 2S^2+2]
+        back_pt, ok2 = track_feature_batch(
+            pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
+            weight, threshold, max_iters, iters_coarse=iters_coarse,
+            active=ok1, backend=backend, packed=packed_bwd,
+        )
+    else:
+        back_pt, ok2 = track_feature_batch(
+            pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
+            weight, threshold, max_iters, iters_coarse=iters_coarse,
+            active=ok1, backend=backend, ref_pyr=pyr_to, ref_pts=to_pt,
+        )
 
     textured = (tex_sumsq - tex_mean ** 2) >= min_variance
     dist = jnp.linalg.norm(from_pt - back_pt, axis=-1)

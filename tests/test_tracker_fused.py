@@ -173,3 +173,47 @@ def test_packed_cache_path_matches_patch_path(rng):
     assert sel.any()
     np.testing.assert_array_equal(np.asarray(pos_c)[sel], np.asarray(pos_a)[sel])
     np.testing.assert_array_equal(np.asarray(ok_c)[sel], np.asarray(ok_a)[sel])
+
+
+def test_bwd_ref_from_window_matches_extraction():
+    """Window-sourced backward reference patches reproduce the
+    plane-extracted path exactly while the support stays inside the
+    forward windows (the common case by construction)."""
+    import numpy as np
+
+    from slam_robot_tpu.ops import pyramid as pyr_mod
+    from slam_robot_tpu.ops import tracker_fused as tf
+
+    rng = np.random.default_rng(5)
+    h0, w0 = 120, 160
+    base = rng.random((h0, w0), np.float32)
+    # mild shift between "view" and "new" frames
+    img1 = np.roll(base, (2, 3), axis=(0, 1))
+    p_from = pyr_mod.build_pyramid(jnp.asarray(base), 4, 1.1, 0.8)
+    p_to = pyr_mod.build_pyramid(jnp.asarray(img1), 4, 1.1, 0.8)
+
+    F = 24
+    pts = jnp.asarray(
+        rng.uniform([30, 30], [w0 - 30, h0 - 30], (F, 2)).astype(np.float32)
+    )
+    lvls = jnp.full((F,), 3, jnp.int32)
+    weight = np.asarray(
+        __import__("slam_robot_tpu.ops.patch", fromlist=["radial_mask"])
+        .radial_mask(13, 15.0)
+    )
+    weight = jnp.asarray(weight)
+    stacks = tf.get_patch_stacks(p_from, pts, 13)
+    packed = tf.pack_stacks(stacks)
+
+    start = pts + jnp.asarray([3.0, 2.0])
+    kw = dict(threshold=0.001, max_iters=6, roundtrip_px=0.5,
+              backend="xla", p1_packed=packed)
+    to_a, ok_a = tf.track_bidirectional_batch(
+        p_from, p_to, pts, start, lvls, weight,
+        bwd_ref_from_window=False, **kw)
+    to_b, ok_b = tf.track_bidirectional_batch(
+        p_from, p_to, pts, start, lvls, weight,
+        bwd_ref_from_window=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+    np.testing.assert_allclose(np.asarray(to_a), np.asarray(to_b),
+                               atol=1e-4)
