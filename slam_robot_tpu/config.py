@@ -137,6 +137,17 @@ class SlamConfig:
                                    # gate admits marginal matches, the
                                    # same failure mode as
                                    # roundtrip_levels=1
+    bwd_window_cache: bool = True  # cache per-(lane, view, level) search
+                                   # windows at keyframe time (a stored
+                                   # view's match locations never change)
+                                   # so the backward pass reads its
+                                   # windows from a flat table instead of
+                                   # slicing the view pyramid per sweep
+                                   # (~1.5 ms/frame). The cascade can
+                                   # drift past the cached margin for
+                                   # already-bad tracks — clamped + masked
+                                   # like bwd_ref_from_window.
+                                   # tools/parity.py pins False
     bwd_ref_from_window: bool = True  # sample the backward-consistency
                                    # pass's reference patches from the
                                    # forward pass's own search windows

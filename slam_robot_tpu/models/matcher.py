@@ -55,6 +55,13 @@ class MatcherState(NamedTuple):
     # (data | valid | mean | sumsq, tracker_fused.pack_stacks) so a level
     # sweep reads its cache rows with ONE latency-bound gather, not four
     feat_refpack: jnp.ndarray  # [NF, V, L, 2*S*S+2] f32
+    # per-(feature, view, level) search WINDOWS around the stored match —
+    # the backward-consistency pass's windows are fixed the moment a view
+    # is stored, so caching them turns its per-sweep plane slices
+    # (~1.4 us/row) into flat-table reads (~free). The refpack patches
+    # are sampled from these at keyframe time (exact: zero drift then)
+    feat_refwin: jnp.ndarray   # [NF, V, L, WIN, WIN] f32
+    feat_reforg: jnp.ndarray   # [NF, V, L, 2] f32 window origins
     feat_fail: jnp.ndarray    # [NF] int32 consecutive frames where every
                               # stored-view attempt failed (0 = matched or
                               # untried); drives cfg.find_fail_backoff
@@ -77,6 +84,10 @@ def init(cfg: SlamConfig) -> MatcherState:
         feat_px=jnp.zeros((NF, V, 2), jnp.float32),
         feat_valid=jnp.zeros((NF, V), bool),
         feat_refpack=jnp.zeros((NF, V, L, 2 * S * S + 2), jnp.float32),
+        feat_refwin=jnp.zeros(
+            (NF, V, L, tracker_fused.WIN, tracker_fused.WIN), jnp.float32
+        ),
+        feat_reforg=jnp.zeros((NF, V, L, 2), jnp.float32),
         feat_fail=jnp.zeros((NF,), jnp.int32),
         feat_sharp=jnp.zeros((NF,), bool),
     )
@@ -263,6 +274,13 @@ def track(
                     lambda: ms.feat_refpack[lanes, vi_lane],
                 )
                 stats0 = packed_sel[:, 0, 2 * S2:]
+                if cfg.bwd_window_cache:
+                    # per-lane view-selected window cache rows (flat-table
+                    # gather, ~free)
+                    bwd_wins = (ms.feat_refwin[lanes, vi_lane],
+                                ms.feat_reforg[lanes, vi_lane])
+                else:
+                    bwd_wins = None
                 return tracker_fused.track_bidirectional_batch(
                     view_levels, new_pyr, from_pt, start, lvls, weight,
                     cfg.track_threshold, cfg.track_max_iters,
@@ -271,6 +289,7 @@ def track(
                     p1_packed=packed_sel, p1_stats0=stats0,
                     bwd_lvls=bwd,
                     bwd_ref_from_window=cfg.bwd_ref_from_window,
+                    bwd_win_cache=bwd_wins,
                 )
 
             def skip(args):
@@ -621,25 +640,53 @@ def track(
         # 6 levels the uncompacted refresh was ~2 ms per keyframe — the
         # dominant keyframe cost at exploration cadence.
         kneed = min(NF, -(-(cfg.min_matches + cfg.max_corners + 32) // 64) * 64)
+        feat_refwin = ms.feat_refwin
+        feat_reforg = ms.feat_reforg
         if kneed < NF:
             need = feat_valid[:, slot]
             ksel = jnp.argsort(~need)[:kneed]     # needed lanes first
             kmask = need[ksel]
-            stacks = tracker_fused.get_patch_stacks(
-                new_pyr, feat_px[ksel, slot], cfg.patch_size
-            )
-            packed = tracker_fused.pack_stacks(stacks)
+            kpts = feat_px[ksel, slot]
             wdest = jnp.where(kmask, ksel, NF)    # OOB drops
-            feat_refpack = ms.feat_refpack.at[wdest, slot].set(
-                packed, mode="drop"
+        else:
+            ksel = jnp.arange(NF)
+            kmask = jnp.ones((NF,), bool)
+            kpts = feat_px[:, slot]
+            wdest = ksel
+        if cfg.bwd_window_cache:
+            # gather each needed lane's per-level search windows ONCE;
+            # the reference patches are then SAMPLED from them (exact:
+            # zero drift at keyframe time), and the backward pass reads
+            # its windows from this cache on every later frame
+            wins, orgs = tracker_fused.get_window_stacks(new_pyr, kpts)
+            dims = pyr.level_dims(
+                cfg.image_height, cfg.image_width, cfg.pyramid_depth
             )
+            S = cfg.patch_size
+            cols = []
+            for lv in range(cfg.pyramid_depth):
+                hh, ww_ = dims[lv]
+                wh_c = min(tracker_fused.WIN, hh + 2 * PAD)
+                ww_c = min(tracker_fused.WIN, ww_ + 2 * PAD)
+                d, v, mns, sq = tracker_fused._sample_from_windows(
+                    wins[:, lv, :wh_c, :ww_c], orgs[:, lv],
+                    kpts / (2.0 ** lv), float(ww_), float(hh), S,
+                )
+                cols.append(jnp.concatenate(
+                    [d.reshape(-1, S * S), v.reshape(-1, S * S),
+                     mns[:, None], sq[:, None]], axis=-1,
+                ))
+            packed = jnp.stack(cols, axis=1)
+            feat_refwin = feat_refwin.at[wdest, slot].set(wins, mode="drop")
+            feat_reforg = feat_reforg.at[wdest, slot].set(orgs, mode="drop")
         else:
             stacks = tracker_fused.get_patch_stacks(
-                new_pyr, feat_px[:, slot], cfg.patch_size
+                new_pyr, kpts, cfg.patch_size
             )
-            feat_refpack = ms.feat_refpack.at[:, slot].set(
-                tracker_fused.pack_stacks(stacks)
-            )
+            packed = tracker_fused.pack_stacks(stacks)
+        feat_refpack = ms.feat_refpack.at[wdest, slot].set(
+            packed, mode="drop"
+        )
 
         ms = ms._replace(
             view_frame=view_frame,
@@ -648,6 +695,8 @@ def track(
             feat_px=feat_px,
             feat_valid=feat_valid,
             feat_refpack=feat_refpack,
+            feat_refwin=feat_refwin,
+            feat_reforg=feat_reforg,
             feat_fail=feat_fail,
         )
         n_added = jnp.sum(assign.astype(jnp.int32))

@@ -184,7 +184,8 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                         backend: str | None = None,
                         ref_pyr: FlatPyramid | None = None, ref_pts=None,
                         packed=None, packed_view_idx=None,
-                        return_windows: bool = False):
+                        return_windows: bool = False,
+                        win_cache=None):
     """Batched TrackFeature (hessian.h:243-264): coarse-to-fine cascade with
     per-lane dynamic level counts. pts [F,2].
 
@@ -257,9 +258,20 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                     sel = lane_ids
                 posC = pos[sel]
                 takeC = take[sel]
-                pyrC = FlatPyramid(pyr.data, pyr.heights, pyr.widths,
-                                   pyr.depth_, offs[sel])
-                win, org = _gather_windows(pyrC, _i, posC, _wh, _ww)
+                if win_cache is not None:
+                    # pre-gathered per-lane windows (flat-table reads are
+                    # ~free; per-lane plane slices are ~1.4 us/row)
+                    cwins, corgs = win_cache
+                    if compact:
+                        win = cwins[sel, _i, :_wh, :_ww]
+                        org = corgs[sel, _i]
+                    else:
+                        win = cwins[:, _i, :_wh, :_ww]
+                        org = corgs[:, _i]
+                else:
+                    pyrC = FlatPyramid(pyr.data, pyr.heights, pyr.widths,
+                                       pyr.depth_, offs[sel])
+                    win, org = _gather_windows(pyrC, _i, posC, _wh, _ww)
                 if return_windows:
                     # merge this bucket's windows back to full-F rows so
                     # the caller can sample backward reference patches
@@ -358,6 +370,35 @@ def get_patch_stacks(pyr: FlatPyramid, pts, size: int = 13) -> patch_ops.Patch:
     return jax.vmap(lambda p: tracker_ref.get_patch_stack(pyr, p, size))(pts)
 
 
+def get_window_stacks(pyr: FlatPyramid, pts):
+    """Per-lane per-level search windows around ``pts`` (level-0 coords),
+    zero-padded to [K, L, WIN, WIN], with origins [K, L, 2].
+
+    The matcher caches these per stored view: a view's match locations
+    never change, so the backward-consistency pass's windows are fixed
+    the moment the view is stored — caching turns its per-sweep plane
+    slices (~1.4 us/row) into flat-table reads (~free). Levels whose
+    padded extent is below WIN are zero-padded; consumers must slice
+    [:wh, :ww] with the level's true static extents.
+    """
+    dims = _static_dims(pyr)
+    L = pyr.depth
+    K = pts.shape[0]
+    offs = jnp.broadcast_to(jnp.asarray(pyr.offset), (K,))
+    wins, orgs = [], []
+    for i in range(L):
+        h, w = dims[i]
+        wh, ww = min(WIN, h + 2 * PAD), min(WIN, w + 2 * PAD)
+        pyrL = FlatPyramid(pyr.data, pyr.heights, pyr.widths, pyr.depth_,
+                           offs)
+        win, org = _gather_windows(pyrL, i, pts / (2.0 ** i), wh, ww)
+        if wh < WIN or ww < WIN:
+            win = jnp.pad(win, ((0, 0), (0, WIN - wh), (0, WIN - ww)))
+        wins.append(win)
+        orgs.append(org)
+    return jnp.stack(wins, axis=1), jnp.stack(orgs, axis=1)
+
+
 def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               from_pt, init_to_pt, lvls, weight,
                               threshold: float = 0.001, max_iters: int = 10,
@@ -367,7 +408,8 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
                               active=None, backend: str | None = None,
                               p1_packed=None, p1_view_idx=None,
                               p1_stats0=None, bwd_lvls=None,
-                              bwd_ref_from_window: bool = False):
+                              bwd_ref_from_window: bool = False,
+                              bwd_win_cache=None):
     """Batched forward/backward consistency tracking (matcher.cpp:173-206)
     with the fused level kernel; mirrors ops/tracker.track_bidirectional.
 
@@ -442,12 +484,14 @@ def track_bidirectional_batch(pyr_from: FlatPyramid, pyr_to: FlatPyramid,
             pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
             weight, threshold, max_iters, iters_coarse=iters_coarse,
             active=ok1, backend=backend, packed=packed_bwd,
+            win_cache=bwd_win_cache,
         )
     else:
         back_pt, ok2 = track_feature_batch(
             pyr_from, None, from_pt, lvls if bwd_lvls is None else bwd_lvls,
             weight, threshold, max_iters, iters_coarse=iters_coarse,
             active=ok1, backend=backend, ref_pyr=pyr_to, ref_pts=to_pt,
+            win_cache=bwd_win_cache,
         )
 
     textured = (tex_sumsq - tex_mean ** 2) >= min_variance

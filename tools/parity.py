@@ -58,6 +58,7 @@ CFG_KW = dict(
     find_fail_give_up=0,
     find_fail_backoff_deep=1,
     bwd_ref_from_window=False,
+    bwd_window_cache=False,
     adaptive_fwd_px=0.0,
     track_iters_coarse=0,
 )
