@@ -22,6 +22,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+
+
+def _sync(x):
+    """True device sync (jax.block_until_ready does not block through the
+    axon relay — PERF.md): fetch bytes to host."""
+    import numpy as _np
+
+    return _np.asarray(x)
+
+
 def emit(name, value, unit, **detail):
     print(json.dumps({"config": name, "value": round(value, 3), "unit": unit,
                       "detail": detail}))
@@ -76,13 +86,13 @@ def main():
         ps = pipeline.init(cfg)
         for i in range(3):
             ps, _ = pipeline.step(ps, frames[i], cfg, run_slam=False)
-        jax.block_until_ready(ps.map.n_obs)
+        _sync(ps.map.n_obs)
         n = 8
         t0 = time.time()
         for i in range(n):
             ps, _ = pipeline.step(ps, frames[(3 + i) % len(frames)], cfg,
                                   run_slam=False)
-        jax.block_until_ready(ps.map.n_obs)
+        _sync(ps.map.n_obs)
         dt = (time.time() - t0) / n
         emit("1_replay_track_only", 1.0 / dt, "fps", step_ms=round(dt * 1000, 2))
 
@@ -99,12 +109,12 @@ def main():
             return res.cost
 
         run()
-        jax.block_until_ready(run())
+        _sync(run())
         n = 5
         t0 = time.time()
         for _ in range(n):
             c = run()
-        jax.block_until_ready(c)
+        _sync(c)
         dt = (time.time() - t0) / n
         _, res = slam.solve_frames(s, 10, 20, 2.0, cfg)
         emit("2_window_ba_10x500", 1.0 / dt, "solves/s",
@@ -126,10 +136,10 @@ def main():
                  np.zeros((n_roll, 1))], axis=1).astype(np.float32))
         run = jax.jit(jax.vmap(lambda g: sim.rollout(g, n_steps=300)))
         traj, dist = run(goals)
-        jax.block_until_ready(dist)
+        _sync(dist)
         t0 = time.time()
         traj, dist = run(goals)
-        jax.block_until_ready(dist)
+        _sync(dist)
         dt = time.time() - t0
         d = np.asarray(dist)
         emit("4_closed_loop_64_rollouts", n_roll * 300 / dt, "sim steps/s",
@@ -146,10 +156,10 @@ def main():
                 "obs_ok", "present", "free_frame")
         args5 = tuple(prob[k] for k in keys)
         res = ba_cg.solve(*args5, cgc)
-        jax.block_until_ready(res.cost)
+        _sync(res.cost)
         t0 = time.time()
         res = ba_cg.solve(*args5, cgc)
-        jax.block_until_ready(res.cost)
+        _sync(res.cost)
         dt = time.time() - t0
         ate = float(jnp.sqrt(jnp.mean(jnp.sum(
             (res.frame_trans - prob["true_trans"]) ** 2, axis=1))))
