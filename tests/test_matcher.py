@@ -289,3 +289,41 @@ def test_find_fail_backoff_rate_limits_and_recovers():
     recovered = matched_any[lanes].mean()
     assert recovered > 0.8, f"only {recovered:.0%} of stragglers recovered"
     assert np.all(np.asarray(ms.feat_fail)[lanes & matched_any] == 0)
+
+
+def test_window_cache_matches_fresh_gather():
+    """feat_refwin/feat_reforg cache the stored view's search windows
+    exactly: after a keyframe, the cached rows for valid lanes equal a
+    fresh get_window_stacks over the same pyramid and points, and the
+    refpack patches sampled from them equal plane extraction."""
+    from slam_robot_tpu.ops import tracker_fused as tf
+
+    ms, s = fresh()
+    img0 = texture(3)
+    s, f0 = lm.add_frame(s, 0)
+    ms, s, m0 = matcher.track(ms, s, jnp.asarray(img0), f0, 0, CFG)
+    assert int(m0["n_added"]) > 10
+
+    slot = int(np.argmax(np.asarray(ms.view_frame) == 0))
+    valid = np.asarray(ms.feat_valid[:, slot])
+    lanes = np.nonzero(valid)[0]
+    assert lanes.size > 10
+
+    p = pyr.build_pyramid(jnp.asarray(img0), CFG.pyramid_depth,
+                          CFG.blur_sigma0, CFG.blur_sigma_down)
+    pts = ms.feat_px[jnp.asarray(lanes), slot]
+    wins, orgs = tf.get_window_stacks(p, pts)
+    np.testing.assert_allclose(
+        np.asarray(ms.feat_refwin[jnp.asarray(lanes), slot]),
+        np.asarray(wins), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ms.feat_reforg[jnp.asarray(lanes), slot]),
+        np.asarray(orgs), atol=1e-6,
+    )
+
+    # refpack patches sampled from the windows == plane extraction
+    stacks = tf.get_patch_stacks(p, pts, CFG.patch_size)
+    packed_ref = np.asarray(tf.pack_stacks(stacks))
+    packed_cache = np.asarray(ms.feat_refpack[jnp.asarray(lanes), slot])
+    np.testing.assert_allclose(packed_cache, packed_ref, atol=1e-5)
