@@ -276,7 +276,7 @@ def track(
                 stats0 = packed_sel[:, 0, 2 * S2:]
                 if cfg.bwd_window_cache:
                     # per-lane view-selected window cache rows (flat-table
-                    # gather, ~free)
+                    # gather, once per sweep)
                     bwd_wins = (ms.feat_refwin[lanes, vi_lane],
                                 ms.feat_reforg[lanes, vi_lane])
                 else:

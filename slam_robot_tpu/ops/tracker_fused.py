@@ -260,7 +260,11 @@ def track_feature_batch(pyr: FlatPyramid, patches: patch_ops.Patch | None,
                 takeC = take[sel]
                 if win_cache is not None:
                     # pre-gathered per-lane windows (flat-table reads are
-                    # ~free; per-lane plane slices are ~1.4 us/row)
+                    # ~free; per-lane plane slices are ~1.4 us/row).
+                    # NOTE: the caller gathers the view-selected rows ONCE
+                    # per sweep — per-bucket double-fancy indexing into
+                    # the 5-D cache measured ~0.9 ms WORSE (bit-identical
+                    # trajectory comparison).
                     cwins, corgs = win_cache
                     if compact:
                         win = cwins[sel, _i, :_wh, :_ww]
