@@ -146,6 +146,9 @@ def main():
         elif name.startswith("giveup"):
             cfg = dataclasses.replace(base, find_fail_give_up=int(name[6:]))
             run_variant(name, cfg, frames, n_warm)
+        elif name == "nowincache":
+            cfg = dataclasses.replace(base, bwd_window_cache=False)
+            run_variant(name, cfg, frames, n_warm)
         elif name.startswith("bo"):  # boN = find_fail_backoff
             cfg = dataclasses.replace(base, find_fail_backoff=int(name[2:]))
             run_variant(name, cfg, frames, n_warm)
