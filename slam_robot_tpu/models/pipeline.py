@@ -181,6 +181,13 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             mean_reproj_err=err2,
             normalize_err_drift=jnp.abs(err1 - err2),
             ba_cost=res_fast.cost,
+            # per-solve termination report (the Ceres BriefReport analog,
+            # slam.cpp:510-518): ba.TERM_* codes + cost before/after
+            fast_term=res_fast.term,
+            slow_term=res_slow.term,
+            fast_cost0=res_fast.cost0,
+            slow_cost0=res_slow.cost0,
+            slow_cost=res_slow.cost,
         )
         total_iters = ps.total_ba_iters + res_fast.iters + res_slow.iters
         last_error = res_fast.cost
@@ -195,6 +202,11 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             mean_reproj_err=jnp.float32(0.0),
             normalize_err_drift=jnp.float32(0.0),
             ba_cost=jnp.float32(0.0),
+            fast_term=jnp.int32(0),
+            slow_term=jnp.int32(0),
+            fast_cost0=jnp.float32(0.0),
+            slow_cost0=jnp.float32(0.0),
+            slow_cost=jnp.float32(0.0),
         )
 
     metrics["n_points"] = m.n_points
@@ -244,4 +256,6 @@ def slam_zero_result(m, cfg):
         ok=jnp.bool_(True),
         cost=jnp.float32(0.0),
         iters=jnp.int32(0),
+        term=jnp.int32(ba.TERM_NOT_RUN),
+        cost0=jnp.float32(0.0),
     )

@@ -85,6 +85,16 @@ class BAConfig(NamedTuple):
     stab_cy: float = 240.0
 
 
+# Termination reasons (the Ceres Brief/FullReport analog, slam.cpp:510-518:
+# the reference prints the per-solve report; here the reason is a code the
+# caller surfaces in metrics). See BAResult.term.
+TERM_NOT_RUN = 0    # solve aborted (< 2 usable frames, slam.cpp:305-308)
+TERM_FTOL = 1       # relative cost change below ftol (slam.cpp:493-494)
+TERM_XTOL = 2       # damped step too small to move the f32 state
+TERM_STALL = 3      # trust region collapsed (5 rejects / lambda cap)
+TERM_MAX_ITERS = 4  # iteration cap
+
+
 class BAResult(NamedTuple):
     frame_quat: jnp.ndarray
     frame_trans: jnp.ndarray
@@ -93,6 +103,8 @@ class BAResult(NamedTuple):
     ok: jnp.ndarray         # solve ran (enough usable frames)
     cost: jnp.ndarray       # final robust cost
     iters: jnp.ndarray      # LM iterations executed
+    term: jnp.ndarray       # TERM_* termination-reason code (int32)
+    cost0: jnp.ndarray      # robust cost before the solve
 
 
 def _cauchy_weight(s, c):
@@ -482,7 +494,7 @@ def solve(
 
     # ---- LM loop ----
     def lm_body(carry):
-        fq, ft, ks, locs, lam, cost, it, rejects, done = carry
+        fq, ft, ks, locs, lam, cost, it, rejects, done, term = carry
         dxi, dt, dk, dp = build_step(fq, ft, ks, locs, lam)
         step_inf = jnp.maximum(
             jnp.max(jnp.abs(dxi)),
@@ -508,11 +520,22 @@ def solve(
         rejects = jnp.where(accept, 0, rejects + 1)
         stalled = (rejects >= 5) | (new_lam >= 1e7)
         cost = jnp.where(accept, new_cost, cost)
+        # termination reason (first exit wins; priority ftol > xtol > stall)
+        term = jnp.where(
+            done,
+            term,
+            jnp.where(
+                converged,
+                TERM_FTOL,
+                jnp.where(tiny, TERM_XTOL,
+                          jnp.where(stalled, TERM_STALL, TERM_MAX_ITERS)),
+            ),
+        ).astype(jnp.int32)
         return (fq, ft, ks, locs, new_lam, cost, it + 1, rejects,
-                done | converged | stalled | tiny)
+                done | converged | stalled | tiny, term)
 
     def lm_cond(carry):
-        *_, it, _rej, done = carry
+        *_, it, _rej, done, _term = carry
         return (it < cfg.max_iters) & ~done
 
     cost0 = total_cost(frame_quat, frame_trans, cam_k, point_loc)
@@ -526,8 +549,11 @@ def solve(
         jnp.int32(0),
         jnp.int32(0),
         ~solvable,  # unsolvable problems skip the loop entirely
+        jnp.int32(TERM_MAX_ITERS),  # what the cap exit leaves in place
     )
-    fq, ft, ks, locs, _, cost, iters, _, _ = lax.while_loop(lm_cond, lm_body, init)
+    fq, ft, ks, locs, _, cost, iters, _, _, term = lax.while_loop(
+        lm_cond, lm_body, init
+    )
 
     return BAResult(
         frame_quat=jnp.where(solvable, fq, frame_quat),
@@ -537,4 +563,6 @@ def solve(
         ok=solvable,
         cost=cost,
         iters=iters,
+        term=jnp.where(solvable, term, TERM_NOT_RUN).astype(jnp.int32),
+        cost0=cost0,
     )

@@ -39,7 +39,14 @@ from jax import lax
 
 from slam_robot_tpu.ops import projection as proj
 from slam_robot_tpu.ops import quaternion as quat
-from slam_robot_tpu.ops.ba import BAResult, _cauchy_rho, _cauchy_weight, inv4x4
+from slam_robot_tpu.ops.ba import (
+    TERM_MAX_ITERS,
+    TERM_NOT_RUN,
+    BAResult,
+    _cauchy_rho,
+    _cauchy_weight,
+    inv4x4,
+)
 
 _HI = lax.Precision.HIGHEST
 
@@ -235,6 +242,10 @@ def solve(
         locs = locs + dp
         return (fq, ft, locs), None
 
+    r0, use0 = residuals(frame_quat, frame_trans, point_loc)
+    s0 = jnp.sum(r0 * r0, axis=-1)
+    cost0 = 0.5 * jnp.sum(jnp.where(use0, _cauchy_rho(s0, cfg.range), 0.0))
+
     (fq, ft, locs), _ = lax.scan(
         gn_step, (frame_quat, frame_trans, point_loc), None, length=cfg.gn_iters
     )
@@ -251,4 +262,7 @@ def solve(
         ok=solvable,
         cost=cost,
         iters=jnp.int32(cfg.gn_iters),
+        # fixed-iteration GN: the cap is always the exit reason
+        term=jnp.where(solvable, TERM_MAX_ITERS, TERM_NOT_RUN).astype(jnp.int32),
+        cost0=cost0,
     )

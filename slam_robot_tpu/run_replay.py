@@ -50,6 +50,12 @@ def main(argv=None) -> int:
                          "reference's hover inspector data, matcher.cpp:"
                          "260-265) and write strips for the most-tracked "
                          "points to DIR")
+    ap.add_argument("--view-dir", default="", metavar="DIR",
+                    help="write the DrawDebug overlay (main.cpp:609-638) to "
+                         "DIR/frame_%%05d.png every --view-every frames — "
+                         "the live-GUI observability analog")
+    ap.add_argument("--view-every", type=int, default=5,
+                    help="overlay dump cadence for --view-dir (default 5)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -99,6 +105,13 @@ def main(argv=None) -> int:
     ps = pipeline.init(cfg)
     run_slam = not args.no_slam
 
+    if args.view_dir:
+        os.makedirs(args.view_dir, exist_ok=True)
+
+    # BA termination-reason short names (ops/ba.TERM_*), the per-solve
+    # Ceres BriefReport analog (slam.cpp:510-518)
+    term_names = {0: "-", 1: "ftol", 2: "xtol", 3: "stall", 4: "cap"}
+
     t_start = time.time()
     n_done = 0
     for cam, fid, img in sources.prefetch(src):
@@ -117,17 +130,37 @@ def main(argv=None) -> int:
         if phist is not None:
             phist.update(img, metrics["feat_point"], metrics["feat_px"],
                          metrics["feat_matched"])
+        if args.view_dir and fid % max(args.view_every, 1) == 0:
+            from PIL import Image
+
+            from slam_robot_tpu.utils.debug_draw import draw_debug
+
+            overlay = draw_debug(ps.map, img)
+            Image.fromarray(overlay).save(
+                os.path.join(args.view_dir, f"frame_{fid:05d}.png")
+            )
         metrics = {k: np.asarray(v).item() for k, v in metrics.items()
                    if np.asarray(v).ndim == 0}
         dt = time.time() - t0
         n_done += 1
         if not args.quiet:
+            # per-solve BriefReport analog: cost-before->after (reason)
+            if run_slam:
+                ba_rep = (
+                    f"ba {metrics['fast_iters']}"
+                    f"({term_names.get(metrics['fast_term'], '?')} "
+                    f"{metrics['fast_cost0']:.1f}->{metrics['ba_cost']:.1f})"
+                    f"+{metrics['slow_iters']}"
+                    f"({term_names.get(metrics['slow_term'], '?')})"
+                )
+            else:
+                ba_rep = "ba -"
             print(
                 f"frame {fid:4d} cam {cam}: matches {metrics['n_matches']:3d} "
                 f"{'KF' if metrics['is_keyframe'] else '  '} "
                 f"added {metrics['n_added']:3d} pts {metrics['n_points']:4d} "
                 f"err {metrics['mean_reproj_err']:6.3f} "
-                f"ba {metrics['fast_iters']}+{metrics['slow_iters']} "
+                f"{ba_rep} "
                 f"drift {metrics['normalize_err_drift']:.4f} "
                 f"TIMER: {dt:.3f}s"
             )

@@ -194,6 +194,34 @@ def test_cg_solver_larger_map():
     assert after < 0.1 * before and after < 1.0
 
 
+def test_termination_reason_codes():
+    """BAResult.term: the per-solve Ceres BriefReport analog
+    (slam.cpp:510-518). Converged solves report ftol, capped solves report
+    the iteration cap, aborted solves report not-run; cost0 >= cost."""
+    from slam_robot_tpu.ops import ba
+
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=20,
+                                  point_noise=100.0)
+    s = scene.state
+    # plenty of iterations: this easy problem converges (ftol, or xtol once
+    # the damped step is too small to move the f32 state)
+    s2, res = slam.solve_frames(s, 0, 6, 2.0, CFG)
+    assert bool(res.ok)
+    assert int(res.term) in (ba.TERM_FTOL, ba.TERM_XTOL)
+    assert float(res.cost0) >= float(res.cost)
+    assert float(res.cost0) > 0.0
+
+    # a 1-iteration cap exits via the cap
+    _, res1 = slam.solve_frames(s, 0, 6, 2.0, CFG, max_iters=1)
+    assert int(res1.term) == ba.TERM_MAX_ITERS
+    assert int(res1.iters) == 1
+
+    # unsolvable (too few frames) reports not-run
+    tiny = synthetic.build_scene(CFG, n_frames=1, n_points=5)
+    _, res0 = slam.solve_frames(tiny.state, 2, 5, 2.0, CFG)
+    assert int(res0.term) == ba.TERM_NOT_RUN
+
+
 def test_free_point_compaction_matches_uncompacted():
     """max_free_points compaction: identical solve when capacity holds all
     free points; graceful const degradation past capacity."""
