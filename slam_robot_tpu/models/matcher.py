@@ -572,17 +572,23 @@ def track(
         feat_fail=feat_fail, feat_point=feat_point, feat_sharp=feat_sharp
     )
 
-    # 4. keyframe branch (matcher.cpp:353-402)
+    # 4. keyframe branch (matcher.cpp:353-402). The branch computes ONLY
+    # small tensors; the multi-MB cache writes (view_pyr, feat_refpack,
+    # feat_refwin, feat_reforg — ~63 MB of MatcherState) happen OUTSIDE the
+    # cond via OOB-sentinel scatters that drop on non-keyframes. Carrying
+    # them through the cond cost ~2.5 ms/frame of boundary copies
+    # (round-2 trace: data formatting 1.74 + conditional 0.80).
     is_kf = n_matches < cfg.min_matches
+    kneed = min(NF, -(-(cfg.min_matches + cfg.max_corners + 32) // 64) * 64)
 
     def keyframe_branch(args):
-        ms, map_state = args
+        view_frame0, feat_px0, feat_valid0, feat_point0, feat_fail0, \
+            map_state = args
         # ring slot: empty (-1) first, else oldest
-        slot = jnp.argmin(ms.view_frame)
-        view_frame = ms.view_frame.at[slot].set(jnp.int32(frame_idx))
-        view_pyr = ms.view_pyr.at[slot].set(new_pyr.data)
-        feat_valid = ms.feat_valid.at[:, slot].set(matched)
-        feat_px = ms.feat_px.at[:, slot].set(to_px)
+        slot = jnp.argmin(view_frame0)
+        view_frame = view_frame0.at[slot].set(jnp.int32(frame_idx))
+        feat_valid = feat_valid0.at[:, slot].set(matched)
+        feat_px = feat_px0.at[:, slot].set(to_px)
 
         map_state = map_state._replace(
             frame_keyframe=map_state.frame_keyframe.at[frame_idx].set(True)
@@ -610,7 +616,7 @@ def track(
         # (the reference's features die the same way once every view
         # holding them leaves the <=4-deep deque, matcher.cpp:397-402)
         trackable = jnp.any(feat_valid, axis=1)
-        feat_point_live = jnp.where(trackable, ms.feat_point, -1)
+        feat_point_live = jnp.where(trackable, feat_point0, -1)
         # assign to free feature slots
         free = feat_point_live < 0
         slot_order = jnp.argsort(~free)  # free slots first (stable)
@@ -628,87 +634,108 @@ def track(
         feat_px = feat_px.at[sdest, slot].set(cpts, mode="drop")
         feat_valid = feat_valid.at[sdest].set(False, mode="drop")
         feat_valid = feat_valid.at[sdest, slot].set(True, mode="drop")
-        feat_fail = ms.feat_fail.at[sdest].set(0, mode="drop")
+        feat_fail = feat_fail0.at[sdest].set(0, mode="drop")
 
-        # cache the new view's reference patch stacks once — feat_px for a
-        # stored view never changes, so every later frame's forward track
-        # reads these instead of re-extracting 6 levels x NF lanes.
-        # COMPACTED: only lanes stored in this view (matched < min_matches
-        # by the keyframe trigger, plus <= max_corners fresh seeds) are
-        # ever read from this slot, so extract just those. Patch
-        # extraction is a row gather (~1.4 us/row, PERF.md); at NF=256 x
-        # 6 levels the uncompacted refresh was ~2 ms per keyframe — the
-        # dominant keyframe cost at exploration cadence.
-        kneed = min(NF, -(-(cfg.min_matches + cfg.max_corners + 32) // 64) * 64)
-        feat_refwin = ms.feat_refwin
-        feat_reforg = ms.feat_reforg
+        # select the lanes whose caches the view refresh must cover — only
+        # lanes stored in this view (matched < min_matches by the keyframe
+        # trigger, plus <= max_corners fresh seeds) are ever read from this
+        # slot, so extract just those. Patch extraction is a row gather
+        # (~1.4 us/row, PERF.md); at NF=256 x 6 levels the uncompacted
+        # refresh was ~2 ms per keyframe.
         if kneed < NF:
             need = feat_valid[:, slot]
             ksel = jnp.argsort(~need)[:kneed]     # needed lanes first
             kmask = need[ksel]
             kpts = feat_px[ksel, slot]
             wdest = jnp.where(kmask, ksel, NF)    # OOB drops
+            # invariant guard (ADVICE r2): a lane stored in the view but
+            # beyond the kneed cache capacity would track against STALE
+            # refpack rows — mark it invalid instead (never fires while
+            # sum(need) <= min_matches + max_corners, by the keyframe
+            # trigger; this makes the sizing assumption safe, not assumed)
+            covered = jnp.zeros((NF,), bool).at[
+                jnp.where(kmask, ksel, NF)
+            ].set(True, mode="drop")
+            feat_valid = feat_valid.at[:, slot].set(need & covered)
         else:
-            ksel = jnp.arange(NF)
             kmask = jnp.ones((NF,), bool)
             kpts = feat_px[:, slot]
-            wdest = ksel
-        if cfg.bwd_window_cache:
-            # gather each needed lane's per-level search windows ONCE;
-            # the reference patches are then SAMPLED from them (exact:
-            # zero drift at keyframe time), and the backward pass reads
-            # its windows from this cache on every later frame
-            wins, orgs = tracker_fused.get_window_stacks(new_pyr, kpts)
-            dims = pyr.level_dims(
-                cfg.image_height, cfg.image_width, cfg.pyramid_depth
-            )
-            S = cfg.patch_size
-            cols = []
-            for lv in range(cfg.pyramid_depth):
-                hh, ww_ = dims[lv]
-                wh_c = min(tracker_fused.WIN, hh + 2 * PAD)
-                ww_c = min(tracker_fused.WIN, ww_ + 2 * PAD)
-                d, v, mns, sq = tracker_fused._sample_from_windows(
-                    wins[:, lv, :wh_c, :ww_c], orgs[:, lv],
-                    kpts / (2.0 ** lv), float(ww_), float(hh), S,
-                )
-                cols.append(jnp.concatenate(
-                    [d.reshape(-1, S * S), v.reshape(-1, S * S),
-                     mns[:, None], sq[:, None]], axis=-1,
-                ))
-            packed = jnp.stack(cols, axis=1)
-            feat_refwin = feat_refwin.at[wdest, slot].set(wins, mode="drop")
-            feat_reforg = feat_reforg.at[wdest, slot].set(orgs, mode="drop")
-        else:
-            stacks = tracker_fused.get_patch_stacks(
-                new_pyr, kpts, cfg.patch_size
-            )
-            packed = tracker_fused.pack_stacks(stacks)
-        feat_refpack = ms.feat_refpack.at[wdest, slot].set(
-            packed, mode="drop"
-        )
+            wdest = jnp.arange(NF)
 
-        ms = ms._replace(
-            view_frame=view_frame,
-            view_pyr=view_pyr,
-            feat_point=feat_point,
-            feat_px=feat_px,
-            feat_valid=feat_valid,
-            feat_refpack=feat_refpack,
-            feat_refwin=feat_refwin,
-            feat_reforg=feat_reforg,
-            feat_fail=feat_fail,
-        )
+        # the expensive per-keyframe gathers run HERE (cond-guarded), but
+        # return only their compact payloads; the writes into the big
+        # cache buffers happen unconditionally outside the cond
+        if cfg.bwd_window_cache:
+            # gather each needed lane's per-level search windows ONCE; the
+            # backward pass reads its windows from this cache on every
+            # later frame. The refpack patches are NOT sampled from these
+            # windows (round 2 did, "exact: zero drift") because the
+            # banded-matmul sampling only matches plane extraction to
+            # ~1e-5 — and that fp-level difference in the REFERENCE
+            # patches forked the keyframe cadence chaotically between
+            # cache on/off (15 vs 2 keyframes on the same bench sweep,
+            # PERF.md): within-step the cached windows are bit-identical
+            # to fresh gathers (tools/diag_wincache.py), so the whole
+            # round-2 ATE delta rode this sampling path. Plane-extracting
+            # refpack keeps cache on/off bit-identical end to end.
+            wins, orgs = tracker_fused.get_window_stacks(new_pyr, kpts)
+        else:
+            wins = jnp.zeros((kneed, L, tracker_fused.WIN,
+                              tracker_fused.WIN), jnp.float32)
+            orgs = jnp.zeros((kneed, L, 2), jnp.float32)
+        stacks = tracker_fused.get_patch_stacks(new_pyr, kpts, cfg.patch_size)
+        packed = tracker_fused.pack_stacks(stacks)
+
         n_added = jnp.sum(assign.astype(jnp.int32))
-        return ms, map_state, n_added
+        return ((view_frame, feat_px, feat_valid, feat_point, feat_fail),
+                map_state, n_added, slot, wdest, wins, orgs, packed)
 
     def plain_branch(args):
-        ms, map_state = args
-        return ms, map_state, jnp.int32(0)
+        view_frame0, feat_px0, feat_valid0, feat_point0, feat_fail0, \
+            map_state = args
+        S2 = cfg.patch_size * cfg.patch_size
+        return (
+            (view_frame0, feat_px0, feat_valid0, feat_point0, feat_fail0),
+            map_state, jnp.int32(0), jnp.int32(V),
+            jnp.full((kneed,), NF, jnp.int32),
+            jnp.zeros((kneed, L, tracker_fused.WIN, tracker_fused.WIN),
+                      jnp.float32),
+            jnp.zeros((kneed, L, 2), jnp.float32),
+            jnp.zeros((kneed, L, 2 * S2 + 2), jnp.float32),
+        )
 
-    ms, map_state, n_added = jax.lax.cond(
-        is_kf, keyframe_branch, plain_branch, (ms, map_state)
+    small, map_state, n_added, kf_slot, wdest, wins, orgs, packed = (
+        jax.lax.cond(
+            is_kf, keyframe_branch, plain_branch,
+            (ms.view_frame, ms.feat_px, ms.feat_valid, ms.feat_point,
+             ms.feat_fail, map_state),
+        )
     )
+    ms = ms._replace(
+        view_frame=small[0], feat_px=small[1], feat_valid=small[2],
+        feat_point=small[3], feat_fail=small[4],
+    )
+
+    # ---- cache writes, OUTSIDE the cond. OOB sentinels (kf_slot = V,
+    # wdest = NF) drop everything on non-keyframes, so these are
+    # unconditional scatters XLA performs as in-place DUS on the scan
+    # carry — instead of the cond-boundary copies that carrying the 63 MB
+    # of caches through the keyframe cond cost (round-2 trace: 1.74 ms
+    # data formatting + 0.80 ms conditional per frame).
+    upd = dict(
+        view_pyr=ms.view_pyr.at[kf_slot].set(new_pyr.data, mode="drop"),
+        feat_refpack=ms.feat_refpack.at[wdest, kf_slot].set(
+            packed, mode="drop"
+        ),
+    )
+    if cfg.bwd_window_cache:
+        upd["feat_refwin"] = ms.feat_refwin.at[wdest, kf_slot].set(
+            wins, mode="drop"
+        )
+        upd["feat_reforg"] = ms.feat_reforg.at[wdest, kf_slot].set(
+            orgs, mode="drop"
+        )
+    ms = ms._replace(**upd)
 
     metrics = {
         "n_matches": n_matches,

@@ -96,3 +96,38 @@ def test_checked_step_flags_nan_input():
     bad = img.at[10:20, 10:20].set(jnp.nan)
     err, _ = pipeline.checked_step(ps, bad, CFG)
     assert err.get() is not None and "nan" in err.get().lower()
+
+
+def test_window_cache_closed_loop_bit_identical():
+    """bwd_window_cache must be semantics-NEUTRAL (VERDICT r2 item 2): a
+    closed-loop run with the cache on produces the bit-identical trajectory,
+    keyframe cadence and match counts as with it off. Round 2 traded ATE
+    for the cache because keyframe-time reference patches were sampled from
+    the cached windows (~1e-5 off plane extraction), forking the cadence
+    chaotically; refpack is now plane-extracted in both modes."""
+    import dataclasses
+
+    cfg_on = dataclasses.replace(CFG, bwd_window_cache=True)
+    cfg_off = dataclasses.replace(CFG, bwd_window_cache=False)
+    assert cfg_on.bwd_ref_from_window == cfg_off.bwd_ref_from_window
+
+    src = sources.SyntheticSource(CFG, n_frames=12, n_points=400, step_mm=10.0)
+    states = {}
+    for key, cfg in (("on", cfg_on), ("off", cfg_off)):
+        ps = pipeline.init(cfg, scaled_intrinsics(cfg))
+        kfs, matches = [], []
+        for i in range(12):
+            ps, m = pipeline.step(ps, jnp.asarray(src.get(i % 2, i)), cfg)
+            kfs.append(bool(np.asarray(m["is_keyframe"])))
+            matches.append(int(np.asarray(m["n_matches"])))
+        states[key] = (ps, kfs, matches)
+
+    (ps_on, kf_on, nm_on), (ps_off, kf_off, nm_off) = states["on"], states["off"]
+    assert kf_on == kf_off, f"keyframe cadence diverged: {kf_on} vs {kf_off}"
+    assert nm_on == nm_off, f"match counts diverged: {nm_on} vs {nm_off}"
+    nf = int(ps_on.map.n_frames)
+    np.testing.assert_array_equal(
+        np.asarray(ps_on.map.frame_trans[:nf]),
+        np.asarray(ps_off.map.frame_trans[:nf]),
+        err_msg="trajectories diverged bitwise",
+    )
