@@ -318,4 +318,33 @@ class SlamConfig:
         return self.patch_size
 
 
+# The production defaults above deviate from reference tracking semantics
+# where a deviation measured strictly better on the TPU (each knob's
+# docstring carries the numbers). These are the pins that undo every
+# deviation — matcher.cpp:221-269's exact retry walk, symmetric backward
+# cascade, fresh per-sweep window gathers. tools/parity.py regenerates its
+# golden fixture under these, and reference_exact() keeps the two lists
+# from drifting apart (ADVICE r2).
+REFERENCE_EXACT_KW = dict(
+    find_fail_backoff=1,
+    find_fail_backoff_deep=1,
+    find_fail_give_up=0,
+    retry_mode="ladder",
+    roundtrip_levels=0,
+    bwd_ref_from_window=False,
+    bwd_window_cache=False,
+    adaptive_fwd_px=0.0,
+    track_iters_coarse=0,
+)
+
+
+def reference_exact(**overrides) -> SlamConfig:
+    """A SlamConfig with reference-exact tracking semantics (every measured
+    production deviation undone). ``overrides`` lets callers keep their
+    capacities/resolution while pinning semantics."""
+    kw = dict(REFERENCE_EXACT_KW)
+    kw.update(overrides)
+    return SlamConfig(**kw)
+
+
 DEFAULT = SlamConfig()

@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the parity suite compiles the full pipeline for
+# several distinct configs (~minutes each on this 1-CPU box); cached
+# executables make repeat CI runs cheap
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
