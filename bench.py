@@ -113,6 +113,20 @@ def main() -> None:
     errn = np.linalg.norm(np.asarray(m2.obs_err[:n_obs_final]), axis=1)
     dis = np.asarray(m2.obs_disabled[:n_obs_final])
     median_err = float(np.median(errn[~dis])) if (~dis).any() else 0.0
+    # decompose the reference-parity mean (it includes disabled outliers BY
+    # DESIGN, slam.cpp:523-548) so the headline is self-interpreting: the
+    # round-2 8.5 px mean was ~all disabled-row mass over a 0.35 px median
+    q = lambda a, p: float(np.quantile(a, p)) if a.size else 0.0
+    err_split = {
+        "pct_disabled": round(100.0 * float(dis.mean()), 1),
+        "mean_enabled_px": round(float(errn[~dis].mean()), 3) if (~dis).any() else 0.0,
+        "mean_disabled_px": round(float(errn[dis].mean()), 3) if dis.any() else 0.0,
+        "enabled_quantiles_px": {
+            "p50": round(q(errn[~dis], 0.5), 3),
+            "p90": round(q(errn[~dis], 0.9), 3),
+            "p99": round(q(errn[~dis], 0.99), 3),
+        },
+    }
     nf = int(m2.n_frames)
     true_t = np.stack([sweep_pose(i)[1] for i in range(nf)])
     est_t = np.asarray(m2.frame_trans[:nf])
@@ -133,6 +147,7 @@ def main() -> None:
                     "scan_compile_s": round(scan_compile_s, 1),
                     "mean_reproj_err_px": round(err, 3),
                     "median_enabled_err_px": round(median_err, 3),
+                    "err_split": err_split,
                     "ate_mm": round(ate, 1),
                     "ate_pct_of_path": round(100.0 * ate / max(path, 1e-9), 2),
                     "n_points": int(ps2.map.n_points),

@@ -60,8 +60,7 @@ def init(cfg: SlamConfig, intrinsics=None) -> PipelineState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "run_slam"))
-def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
+def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     """One full SLAM step. Returns (PipelineState, metrics dict)."""
     camera = ps.camera ^ 1
     m = ps.map
@@ -162,16 +161,39 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                 # the reference declares but never calls this
                 # (localmap.cpp:173-187); opt-in behavior
                 m = lm.check_not_moving(m, cfg.not_moving_d2)
-            return m, res_fast, res_slow, err1, err2
+
+            # truncation guard for the maintenance reproject window: rows
+            # of presented (newest solve_slow[1]) frames older than the
+            # tail keep stale stored errors — count them (VERDICT r2 #4)
+            if rw is not None and rw < m.obs_mask.shape[0]:
+                _, present_w = slam.window_masks(m, 0, cfg.solve_slow[1])
+                in_presented = (
+                    m.obs_mask & present_w[m.obs_frame.clip(0)]
+                )
+                head = jnp.arange(m.obs_mask.shape[0]) < (m.n_obs - rw)
+                repro_dropped = jnp.sum(
+                    (in_presented & head).astype(jnp.int32)
+                )
+            else:
+                repro_dropped = jnp.int32(0)
+            return m, res_fast, res_slow, err1, err2, repro_dropped
 
         def skip_slam(m):
             zero_res = slam_zero_result(m, cfg)
-            return m, zero_res, zero_res, jnp.float32(0.0), jnp.float32(0.0)
+            return (m, zero_res, zero_res, jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.int32(0))
 
         # the reference skips BA on the very first frame (prev image check,
         # main.cpp:570-573)
-        m, res_fast, res_slow, err1, err2 = jax.lax.cond(
+        m, res_fast, res_slow, err1, err2, repro_dropped = jax.lax.cond(
             frame_idx >= 1, do_slam, skip_slam, m
+        )
+        metrics.update(
+            # obs-window truncation counters: nonzero = the fixed windows
+            # exclude participating rows (ref includes all, slam.cpp:279-299)
+            fast_obs_dropped=res_fast.obs_dropped,
+            slow_obs_dropped=res_slow.obs_dropped,
+            reproject_obs_dropped=repro_dropped,
         )
         metrics.update(
             fast_ok=res_fast.ok,
@@ -207,6 +229,9 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             fast_cost0=jnp.float32(0.0),
             slow_cost0=jnp.float32(0.0),
             slow_cost=jnp.float32(0.0),
+            fast_obs_dropped=jnp.int32(0),
+            slow_obs_dropped=jnp.int32(0),
+            reproject_obs_dropped=jnp.int32(0),
         )
 
     metrics["n_points"] = m.n_points
@@ -222,6 +247,32 @@ def step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
         ),
         metrics,
     )
+
+
+step = functools.partial(jax.jit, static_argnames=("cfg", "run_slam"))(_step)
+
+# the LIVE per-frame variant (a robot feeds frames one at a time,
+# main.cpp:503-645): donating the state lets XLA reuse the ~70 MB of
+# state buffers in place instead of allocating + copying fresh outputs
+# every call. Callers must not touch the donated `ps` afterwards.
+step_donated = functools.partial(
+    jax.jit, static_argnames=("cfg", "run_slam"), donate_argnums=(0,)
+)(_step)
+
+
+def _step_lean(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
+    """Live-loop step with a minimal output surface: every output buffer is
+    registered through the remote-relay dispatch per call, so the live path
+    returns only the state and the 4 scalars the robot loop actually polls
+    (match count, keyframe flag, error, slow-solve health)."""
+    ps, met = _step(ps, img, cfg, run_slam)
+    return ps, (met["n_matches"], met["is_keyframe"],
+                met["mean_reproj_err"], met["slow_ok"])
+
+
+step_live = functools.partial(
+    jax.jit, static_argnames=("cfg", "run_slam"), donate_argnums=(0,)
+)(_step_lean)
 
 
 def checked_step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):

@@ -105,6 +105,11 @@ class BAResult(NamedTuple):
     iters: jnp.ndarray      # LM iterations executed
     term: jnp.ndarray       # TERM_* termination-reason code (int32)
     cost0: jnp.ndarray      # robust cost before the solve
+    # participating observations excluded by the caller's fixed-size obs
+    # window (models/slam._run tail slice). The reference includes EVERY
+    # enabled obs of presented frames (slam.cpp:279-299); nonzero here
+    # means the window underfits the workload and should be resized.
+    obs_dropped: jnp.ndarray = jnp.int32(0)
 
 
 def _cauchy_weight(s, c):

@@ -222,6 +222,24 @@ def test_termination_reason_codes():
     assert int(res0.term) == ba.TERM_NOT_RUN
 
 
+def test_obs_window_truncation_counter():
+    """The fixed-size obs tail window must COUNT participating rows it
+    excludes (the reference includes every enabled obs of presented frames,
+    slam.cpp:279-299). A window smaller than the presented workload reports
+    the overflow; a window that holds everything reports zero."""
+    scene = synthetic.build_scene(CFG, n_frames=8, n_points=40)
+    s = scene.state
+    n_part = int(jnp.sum(slam._obs_ok(s, slam.window_masks(s, 2, 5)[1])))
+    assert n_part > 64
+
+    _, res_small = slam.solve_frames(s, 2, 5, 2.0, CFG, window_obs=64)
+    assert int(res_small.obs_dropped) == n_part - 64 > 0
+
+    _, res_big = slam.solve_frames(s, 2, 5, 2.0, CFG,
+                                   window_obs=CFG.max_obs)
+    assert int(res_big.obs_dropped) == 0
+
+
 def test_free_point_compaction_matches_uncompacted():
     """max_free_points compaction: identical solve when capacity holds all
     free points; graceful const degradation past capacity."""

@@ -57,7 +57,7 @@ def main():
     from slam_robot_tpu.config import SlamConfig
     from slam_robot_tpu.models import localmap as lm
     from slam_robot_tpu.models import pipeline, renderer, sim, slam
-    from slam_robot_tpu.ops import ba_cg
+    from slam_robot_tpu.ops import ba, ba_cg
     from slam_robot_tpu.ops import quaternion as quat
     from slam_robot_tpu.utils import synthetic
 
@@ -167,6 +167,50 @@ def main():
              wall_s=round(dt, 2), frames=nf, landmarks=npts,
              obs=int(prob["obs_frame"].shape[0]), ate_mm=round(ate, 2),
              cost=float(res.cost))
+
+        # multi-robot shared map (the declared config-5 secondary axis:
+        # VERDICT r2 item 6 — device number, not just CPU tests)
+        from slam_robot_tpu.parallel import multi_robot
+
+        R = 2 if small else 8
+        mcfg = SlamConfig(max_frames=32, max_points=512, max_obs=16384,
+                          max_obs_per_point=32)
+        scenes = [synthetic.build_scene(mcfg, n_frames=24, n_points=400,
+                                        seed=0, pose_noise=0.005)
+                  for _ in range(R)]
+        rng5 = np.random.default_rng(5)
+        locs = scenes[0].state.point_loc.at[:400, :3].add(jnp.asarray(
+            rng5.normal(scale=60.0, size=(400, 3)).astype(np.float32)))
+        packs = []
+        for sc in scenes:
+            s5 = sc.state
+            free5, present5 = slam.window_masks(s5, 8, 24)
+            ok5 = slam._obs_ok(s5, present5)
+            packs.append((s5.frame_quat, s5.frame_trans, s5.frame_cam,
+                          s5.obs_frame, s5.obs_point, s5.obs_px, ok5,
+                          present5, free5))
+        st = lambda i: jnp.stack([p[i] for p in packs])
+        sweeps = 3
+        args_mr = (st(0), st(1), st(2), scenes[0].state.cam_k, locs,
+                   scenes[0].state.point_uncertainty, st(3), st(4), st(5),
+                   st(6), st(7), st(8))
+        fq5, ft5, locs5 = multi_robot.solve_shared_map(
+            *args_mr, cfg=ba.BAConfig(max_iters=5, max_free_frames=8),
+            sweeps=sweeps)
+        _sync(locs5)
+        t0 = time.time()
+        fq5, ft5, locs5 = multi_robot.solve_shared_map(
+            *args_mr, cfg=ba.BAConfig(max_iters=5, max_free_frames=8),
+            sweeps=sweeps)
+        _sync(locs5)
+        dt = time.time() - t0
+        pos5 = np.asarray(locs5[:400, :3] / locs5[:400, 3:])
+        perr = float(np.linalg.norm(
+            pos5 - np.asarray(scenes[0].true_points[:, :3]), axis=1).mean())
+        emit("5_multi_robot_shared_map", sweeps / dt, "GS sweeps/s",
+             wall_s=round(dt, 2), robots=R,
+             obs=R * int(packs[0][3].shape[0]),
+             shared_landmarks=400, mean_point_err_mm=round(perr, 2))
 
 
 if __name__ == "__main__":
