@@ -292,8 +292,15 @@ def solve(
             cost += jnp.sum(_cauchy_rho(s2, cfg.camera_loss))
         return 0.5 * cost
 
-    def build_step(fq, ft, ks, locs, lam):
-        """One damped normal-equation solve. Returns (dq_xi, dt, dk, dp)."""
+    def build_normal(fq, ft, ks, locs):
+        """Assemble every lambda-INDEPENDENT normal-equation block at the
+        current state: residual weights, per-obs Jacobians (the expensive
+        jacfwd + one-hot einsum reduction over O) and the prior tensors.
+        Split from :func:`solve_damped` so REJECTED LM steps — where the
+        state did not move — reuse these instead of rebuilding (Ceres
+        amortizes the same way via its evaluator/CHOLMOD reuse,
+        slam.cpp:482-521; here it halves the cost of every
+        reject-then-retry lambda cycle)."""
 
         # per-obs jacobians wrt (xi[3], t[3], k[7], p[4])
         def res_params(xi, t, k, p, q0, px):
@@ -380,34 +387,9 @@ def solve(
         )
         bf = bf.at[:, 3:].add(prior_b)
 
-        # ---- assemble reduced system ----
-        lamI4 = lam * jnp.eye(4) * jnp.maximum(
-            jnp.einsum("pii->p", Cp)[:, None, None] / 4.0, 1e-6
-        ) + 1e-8 * jnp.eye(4)
-        Cdamp = Cp + lamI4
-        Cinv = jnp.where(free_pc[:, None, None], inv4x4(Cdamp), jnp.zeros((4, 4)))
-
-        eyeW = jnp.eye(6)
-        Hff_d = Hff + lam * eyeW * jnp.maximum(
-            jnp.einsum("fii->f", Hff)[:, None, None] / 6.0, 1e-6
-        ) + 1e-8 * eyeW
-
-        # block-diagonal + prior off-diagonal coupling, all static placement
-        S66 = jnp.einsum("wv,wab->wavb", jnp.eye(W), Hff_d, precision=_HI)
+        # prior off-diagonal coupling (lambda-independent)
         off = jnp.einsum("fa,fb,f->fab", jp_t, -jp_t, wp, precision=_HI)
         T = jnp.einsum("fw,fv,fab->wavb", oh_f, oh_prev, off, precision=_HI)
-        S66 = S66.at[:, 3:, :, 3:].add(T + jnp.transpose(T, (2, 3, 0, 1)))
-
-        # schur: S -= sum_p A C^-1 A^T   ([P,W,6,4] x [P,4,4] x [P,W,6,4])
-        ACi = jnp.einsum("pwia,pab->pwib", A, Cinv, precision=_HI)
-        S_ff = jnp.einsum("pwib,pvjb->wivj", ACi, A, precision=_HI)
-        S66 = S66 - S_ff
-
-        S = jnp.zeros((D, D)).at[:DF, :DF].set(S66.reshape(DF, DF))
-        rhs = jnp.zeros((D,))
-        rhs = rhs.at[:DF].set(
-            (bf - jnp.einsum("pwib,pb->wi", ACi, bp, precision=_HI)).reshape(DF)
-        )
 
         if cfg.solve_cameras:
             # camera columns: coupling with frames and points — one-hot
@@ -439,7 +421,47 @@ def solve(
             ws = _cauchy_weight(s2, cfg.camera_loss)
             Hkk = Hkk + jnp.einsum("cia,cib,c->cab", js, js, ws, precision=_HI)
             bk = bk - jnp.einsum("cia,ci,c->ca", js, rs, ws, precision=_HI)
+        else:
+            Hkk = jnp.zeros((C, 7, 7))
+            bk = jnp.zeros((C, 7))
+            Hfk = jnp.zeros((W, C, 6, 7))
+            Ak = jnp.zeros((PW, C, 7, 4))
+        return Cp, bp, Hff, bf, A, T, Hkk, bk, Hfk, Ak
 
+    def solve_damped(normal, lam):
+        """The lambda-DEPENDENT remainder of one LM step: damping, Schur
+        complement, reduced solve, back-substitution. Cheap relative to
+        :func:`build_normal` (no O-sized tensors)."""
+        Cp, bp, Hff, bf, A, T, Hkk, bk, Hfk, Ak = normal
+
+        # ---- assemble reduced system ----
+        lamI4 = lam * jnp.eye(4) * jnp.maximum(
+            jnp.einsum("pii->p", Cp)[:, None, None] / 4.0, 1e-6
+        ) + 1e-8 * jnp.eye(4)
+        Cdamp = Cp + lamI4
+        Cinv = jnp.where(free_pc[:, None, None], inv4x4(Cdamp), jnp.zeros((4, 4)))
+
+        eyeW = jnp.eye(6)
+        Hff_d = Hff + lam * eyeW * jnp.maximum(
+            jnp.einsum("fii->f", Hff)[:, None, None] / 6.0, 1e-6
+        ) + 1e-8 * eyeW
+
+        # block-diagonal + prior off-diagonal coupling, all static placement
+        S66 = jnp.einsum("wv,wab->wavb", jnp.eye(W), Hff_d, precision=_HI)
+        S66 = S66.at[:, 3:, :, 3:].add(T + jnp.transpose(T, (2, 3, 0, 1)))
+
+        # schur: S -= sum_p A C^-1 A^T   ([P,W,6,4] x [P,4,4] x [P,W,6,4])
+        ACi = jnp.einsum("pwia,pab->pwib", A, Cinv, precision=_HI)
+        S_ff = jnp.einsum("pwib,pvjb->wivj", ACi, A, precision=_HI)
+        S66 = S66 - S_ff
+
+        S = jnp.zeros((D, D)).at[:DF, :DF].set(S66.reshape(DF, DF))
+        rhs = jnp.zeros((D,))
+        rhs = rhs.at[:DF].set(
+            (bf - jnp.einsum("pwib,pb->wi", ACi, bp, precision=_HI)).reshape(DF)
+        )
+
+        if cfg.solve_cameras:
             Hkk_d = Hkk + lam * jnp.eye(7) * jnp.maximum(
                 jnp.einsum("cii->c", Hkk)[:, None, None] / 7.0, 1e-6
             ) + 1e-8 * jnp.eye(7)
@@ -498,9 +520,20 @@ def solve(
         return nq, nt, nk, nl
 
     # ---- LM loop ----
+    # `normal` (the lambda-independent blocks) rides the carry; `stale`
+    # marks it out of date (step ACCEPTED -> state moved). Rejected steps
+    # reuse the blocks and pay only the damped solve — bit-identical
+    # results, since the state they describe did not change.
     def lm_body(carry):
-        fq, ft, ks, locs, lam, cost, it, rejects, done, term = carry
-        dxi, dt, dk, dp = build_step(fq, ft, ks, locs, lam)
+        (fq, ft, ks, locs, lam, cost, it, rejects, done, term,
+         normal, stale) = carry
+        normal = lax.cond(
+            stale,
+            lambda _: build_normal(fq, ft, ks, locs),
+            lambda n: n,
+            normal,
+        )
+        dxi, dt, dk, dp = solve_damped(normal, lam)
         step_inf = jnp.maximum(
             jnp.max(jnp.abs(dxi)),
             jnp.maximum(jnp.max(jnp.abs(dt)), jnp.max(jnp.abs(dp))),
@@ -537,13 +570,20 @@ def solve(
             ),
         ).astype(jnp.int32)
         return (fq, ft, ks, locs, new_lam, cost, it + 1, rejects,
-                done | converged | stalled | tiny, term)
+                done | converged | stalled | tiny, term, normal, accept)
 
     def lm_cond(carry):
-        *_, it, _rej, done, _term = carry
+        it, done = carry[6], carry[8]
         return (it < cfg.max_iters) & ~done
 
     cost0 = total_cost(frame_quat, frame_trans, cam_k, point_loc)
+    normal0 = (
+        jnp.zeros((PW, 4, 4)), jnp.zeros((PW, 4)),
+        jnp.zeros((W, 6, 6)), jnp.zeros((W, 6)),
+        jnp.zeros((PW, W, 6, 4)), jnp.zeros((W, 3, W, 3)),
+        jnp.zeros((C, 7, 7)), jnp.zeros((C, 7)),
+        jnp.zeros((W, C, 6, 7)), jnp.zeros((PW, C, 7, 4)),
+    )
     init = (
         frame_quat,
         frame_trans,
@@ -555,8 +595,10 @@ def solve(
         jnp.int32(0),
         ~solvable,  # unsolvable problems skip the loop entirely
         jnp.int32(TERM_MAX_ITERS),  # what the cap exit leaves in place
+        normal0,
+        jnp.bool_(True),  # first iteration must build the blocks
     )
-    fq, ft, ks, locs, _, cost, iters, _, _, term = lax.while_loop(
+    fq, ft, ks, locs, _, cost, iters, _, _, term, _, _ = lax.while_loop(
         lm_cond, lm_body, init
     )
 
