@@ -262,12 +262,23 @@ step_donated = functools.partial(
 
 def _step_lean(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     """Live-loop step with a minimal output surface: every output buffer is
-    registered through the remote-relay dispatch per call, so the live path
-    returns only the state and the 4 scalars the robot loop actually polls
-    (match count, keyframe flag, error, slow-solve health)."""
+    registered through the remote-relay dispatch per call, and every FETCH
+    is a relay round trip (~1.6 ms, PERF.md), so the live path returns the
+    state plus ONE packed f32[8] the robot loop polls with a single fetch:
+    [n_matches, is_keyframe, mean_reproj_err, slow_ok, n_points, n_added,
+    fast_iters, slow_iters]."""
     ps, met = _step(ps, img, cfg, run_slam)
-    return ps, (met["n_matches"], met["is_keyframe"],
-                met["mean_reproj_err"], met["slow_ok"])
+    packed = jnp.stack([
+        met["n_matches"].astype(jnp.float32),
+        met["is_keyframe"].astype(jnp.float32),
+        met["mean_reproj_err"].astype(jnp.float32),
+        met["slow_ok"].astype(jnp.float32),
+        met["n_points"].astype(jnp.float32),
+        met["n_added"].astype(jnp.float32),
+        met["fast_iters"].astype(jnp.float32),
+        met["slow_iters"].astype(jnp.float32),
+    ])
+    return ps, packed
 
 
 step_live = functools.partial(

@@ -22,6 +22,85 @@ import sys
 import time
 
 
+def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
+    """The live robot loop (main.cpp:503-645 cadence): pipeline.step_live
+    donates the ~70 MB state in place and returns ONE packed f32[8] of
+    scalars; frame t's scalars are fetched only after frame t+1 has been
+    dispatched, so the relay round trip rides under device compute. The
+    frame line therefore prints one frame late — the price of keeping the
+    device busy."""
+    import json as _json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_robot_tpu.io import sources
+    from slam_robot_tpu.models import pipeline
+    from slam_robot_tpu.utils import dump as dump_util
+
+    t_start = time.time()
+    n_done = 0
+    pending = None          # (fid, cam, packed-device-scalars, dispatch wall)
+    stop = False
+
+    def report(fid, cam, out, dt):
+        nonlocal stop
+        v = np.asarray(out)            # the ONE fetch per frame
+        if run_slam and v[3] < 0.5:
+            print("slow BA window failed; stopping (main.cpp:591-594)")
+            stop = True
+        if not args.quiet:
+            print(
+                f"frame {fid:4d} cam {cam}: matches {int(v[0]):3d} "
+                f"{'KF' if v[1] > 0.5 else '  '} "
+                f"added {int(v[5]):3d} pts {int(v[4]):4d} "
+                f"err {float(v[2]):6.3f} "
+                f"ba {int(v[6])}+{int(v[7])} "
+                f"TIMER: {dt:.3f}s"
+            )
+
+    for cam, fid, img in sources.prefetch(src):
+        if (args.max_frames and fid >= args.max_frames) or stop:
+            break
+        t0 = time.time()
+        if rec is not None:
+            rec.save(fid, img)
+        ps, out = pipeline.step_live(ps, jnp.asarray(img), cfg, run_slam)
+        n_done += 1
+        if args.view_dir and fid % max(args.view_every, 1) == 0:
+            from PIL import Image
+
+            from slam_robot_tpu.utils.debug_draw import draw_debug
+
+            overlay = draw_debug(ps.map, img)
+            Image.fromarray(overlay).save(
+                os.path.join(args.view_dir, f"frame_{fid:05d}.png")
+            )
+        if pending is not None:
+            report(pending[0], pending[1], pending[2],
+                   t0 - pending[3])
+        pending = (fid, cam, out, t0)
+    if pending is not None:
+        report(pending[0], pending[1], pending[2], time.time() - pending[3])
+
+    wall = time.time() - t_start
+    if rec is not None:
+        rec.close()
+    if args.dump:
+        dump_util.dump_map(ps.map, args.dump)
+    summary = {
+        "frames": n_done,
+        "wall_s": round(wall, 3),
+        "fps": round(n_done / max(wall, 1e-9), 2),
+        "iterations": int(ps.total_ba_iters),
+        "error": float(ps.last_error),
+        "n_points": int(ps.map.n_points),
+        "n_obs": int(ps.map.n_obs),
+    }
+    print(_json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--load", default="", help="replay frames from directory")
@@ -42,6 +121,14 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--live", action="store_true",
+                    help="live robot loop mode: donated state buffers + "
+                         "one packed scalar fetch per frame, with frame "
+                         "t+1 dispatched before frame t's scalars are "
+                         "fetched so the relay round trip hides behind "
+                         "device compute. Prints a reduced frame line "
+                         "(one frame late); incompatible with "
+                         "--debug-numerics / --patch-history")
     ap.add_argument("--debug-numerics", action="store_true",
                     help="run under checkify float guards (NaN/Inf/OOB; "
                          "the SURVEY §5 sanitizer analog) and fail fast")
@@ -111,6 +198,13 @@ def main(argv=None) -> int:
     # BA termination-reason short names (ops/ba.TERM_*), the per-solve
     # Ceres BriefReport analog (slam.cpp:510-518)
     term_names = {0: "-", 1: "ftol", 2: "xtol", 3: "stall", 4: "cap"}
+
+    if args.live:
+        if args.debug_numerics or args.patch_history:
+            print("--live is incompatible with --debug-numerics/"
+                  "--patch-history", file=sys.stderr)
+            return 1
+        return _live_loop(args, cfg, src, ps, run_slam, rec)
 
     t_start = time.time()
     n_done = 0
