@@ -86,6 +86,10 @@ class MapState(NamedTuple):
     obs_px: jnp.ndarray       # [O, 2] f32 pixel coordinates
     obs_disabled: jnp.ndarray  # [O] bool
     obs_err: jnp.ndarray      # [O, 2] f32 cached reprojection error
+    obs_slot: jnp.ndarray     # [O] int32 ring slot this row occupies in its
+                              # point's ring (-1 = never appended); lets the
+                              # clean disable sync run ring->flat as ONE
+                              # [O]-row gather instead of a [P,R] scatter
     n_obs: jnp.ndarray        # int32 scalar
     # per-point ring of obs-table indices
     point_obs: jnp.ndarray    # [P, R] int32 (ring; slot = total % R)
@@ -163,6 +167,7 @@ def empty(cfg: SlamConfig) -> MapState:
         obs_px=jnp.zeros((O, 2), f32),
         obs_disabled=jnp.zeros((O,), bool),
         obs_err=jnp.zeros((O, 2), f32),
+        obs_slot=jnp.full((O,), -1, jnp.int32),
         n_obs=jnp.int32(0),
         point_obs=jnp.full((P, R), -1, jnp.int32),
         point_obs_total=jnp.zeros((P,), jnp.int32),
@@ -271,6 +276,7 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
     # Publish into per-point rings.
     totals = state.point_obs_total[point_idx.clip(0)]
     slot = jnp.mod(totals, state.ring_size)
+    obs_slot = state.obs_slot.at[dest].set(slot.astype(jnp.int32), mode="drop")
     pr = jnp.where(in_cap, point_idx, state.point_loc.shape[0])  # OOB drop
     point_obs = state.point_obs.at[pr, slot].set(offs, mode="drop")
     point_obs_total = state.point_obs_total.at[pr].add(1, mode="drop")
@@ -285,6 +291,7 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
         obs_px=obs_px,
         obs_disabled=obs_dis,
         obs_err=obs_err,
+        obs_slot=obs_slot,
         n_obs=state.n_obs + jnp.sum(in_cap.astype(jnp.int32)),
         point_obs=point_obs,
         point_obs_total=point_obs_total,
@@ -717,8 +724,22 @@ def clean(state: MapState, error_threshold: float = 5.0, cfg: SlamConfig | None 
     to_disable = cand & (errn >= bar)
     any_disabled_pt = jnp.any(to_disable, axis=1)
     all_ok = ~jnp.any(to_disable)
-    rows = jnp.where(to_disable, ring_rows, state.obs_frame.shape[0])
-    obs_disabled = state.obs_disabled.at[rows].set(True, mode="drop")
+    # ring->flat disable sync WITHOUT a [P,R]-index scatter (290 us/frame
+    # serialized, trace r3): packed[p,s] names the flat row the ring wants
+    # disabled; row o is disabled iff its own ring cell (obs_point[o],
+    # obs_slot[o]) names it — ONE [O]-row gather, equivalent row set
+    # (rows evicted from a ring can never be named by their old cell).
+    # Skipped entirely when nothing is to disable.
+    packed = jnp.where(to_disable, ring_rows, -1)
+    obs_disabled = jax.lax.cond(
+        all_ok,
+        lambda od: od,
+        lambda od: od | (
+            packed[state.obs_point.clip(0), state.obs_slot.clip(0)]
+            == jnp.arange(state.obs_frame.shape[0])
+        ),
+        state.obs_disabled,
+    )
     state = state._replace(
         obs_disabled=obs_disabled,
         # the mirror updates scatter-free: to_disable is already [P,R]

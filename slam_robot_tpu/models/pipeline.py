@@ -166,9 +166,13 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             # of presented (newest solve_slow[1]) frames older than the
             # tail keep stale stored errors — count them (VERDICT r2 #4)
             if rw is not None and rw < m.obs_mask.shape[0]:
-                _, present_w = slam.window_masks(m, 0, cfg.solve_slow[1])
+                # contiguous presented-slot range compare, not a per-row
+                # present[obs_frame] gather (~0.6 ms/frame, trace r3)
+                lo = m.n_frames - cfg.solve_slow[1]
                 in_presented = (
-                    m.obs_mask & present_w[m.obs_frame.clip(0)]
+                    m.obs_mask
+                    & (m.obs_frame >= lo)
+                    & (m.obs_frame < m.n_frames)
                 )
                 head = jnp.arange(m.obs_mask.shape[0]) < (m.n_obs - rw)
                 repro_dropped = jnp.sum(

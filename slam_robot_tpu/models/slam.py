@@ -60,23 +60,30 @@ def window_masks(state: lm.MapState, num_to_solve: int, num_to_present: int):
     return free, present
 
 
-def _obs_ok(state: lm.MapState, present):
+def _obs_ok(state: lm.MapState, present_lo):
     """Participating observations: enabled, of slam-usable points, in a
-    presented frame (slam.cpp:279-299)."""
+    presented frame (slam.cpp:279-299).
+
+    Presented frames are the contiguous slot range [present_lo, n_frames)
+    (frame slots are assigned sequentially, never ringed), so the per-row
+    frame test is a vector compare. The previous ``present[obs_frame]``
+    form was a serialized element gather over the whole obs table
+    (~130 us/frame per call site, trace r3)."""
     usable = lm.slam_usable(state.point_flags)
     return (
         state.obs_mask
         & ~state.obs_disabled
         & usable[state.obs_point.clip(0)]
-        & present[state.obs_frame.clip(0)]
+        & (state.obs_frame >= present_lo)
+        & (state.obs_frame < state.n_frames)
         & (state.obs_point >= 0)
     )
 
 
-def _run(state: lm.MapState, free, present, bcfg: ba.BAConfig,
-         window_obs: int | None = None):
+def _run(state: lm.MapState, free, present, present_lo,
+         bcfg: ba.BAConfig, window_obs: int | None = None):
     obs_frame, obs_point, obs_px = state.obs_frame, state.obs_point, state.obs_px
-    obs_ok = _obs_ok(state, present)
+    obs_ok = _obs_ok(state, present_lo)
     obs_dropped = jnp.int32(0)
     if window_obs is not None and window_obs < state.obs_frame.shape[0]:
         # The obs table is append-ordered by frame, so every observation of
@@ -141,7 +148,7 @@ def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
         bcfg = bcfg._replace(max_free_points=int(max_free_points))
     if max_iters is not None:
         bcfg = bcfg._replace(max_iters=max_iters)
-    return _run(state, free, present, bcfg,
+    return _run(state, free, present, state.n_frames - num_to_present, bcfg,
                 window_obs=cfg.window_obs if window_obs is None else window_obs)
 
 
@@ -156,7 +163,7 @@ def solve_all_frames(state: lm.MapState, range_: float = 2.0,
     bcfg = _ba_cfg(cfg, range_, solve_cameras=solve_cameras, fine=solve_cameras)
     # full solves need slots for every frame
     bcfg = bcfg._replace(max_free_frames=int(state.frame_quat.shape[0]))
-    return _run(state, free, present, bcfg)
+    return _run(state, free, present, 0, bcfg)
 
 
 def solve_frame_pose(state: lm.MapState, *_args, **_kw):

@@ -343,20 +343,35 @@ def solve(
         ohp = jax.nn.one_hot(obs_pc, PW, dtype=jnp.float32)        # [O,PW]
         ohs = jax.nn.one_hot(obs_slot, W + 1, dtype=jnp.float32)[:, :W]  # [O,W]
 
-        # landmark blocks
-        blk_pp = jnp.einsum("oia,oib,o->oab", jp, jp, w, precision=_HI)
-        Cp = jnp.einsum("op,oab->pab", ohp, blk_pp, precision=_HI)
-        bp = -jnp.einsum("op,oia,oi->pa", ohp, jp, wr, precision=_HI)
+        # ---- fused block assembly ----
+        # ONE per-obs outer product builds every lambda-independent block:
+        # jaug = [jf | r | jp] (cols 0-5 | 6 | 7-10), all w-weighted, so
+        #   blk[:, :6, :6] = jf'Wjf   blk[:, :6, 6] = jf'Wr  (-> -bf)
+        #   blk[:, :6, 7:] = jf'Wjp   blk[:, 7:, 6] = jp'Wr  (-> -bp)
+        #   blk[:, 7:, 7:] = jp'Wjp
+        # The unfused form ran 3 outer-product + 2 gradient einsums + 5
+        # one-hot merges per LM iteration — ~2 ms/frame of tiny batched
+        # dots at 19 iters/frame (trace r3); this is 1 outer + 3 merges
+        # with identical contractions.
+        rm = jnp.where(use[:, None], r, 0.0)
+        jaug = jnp.concatenate([jf, rm[:, :, None], jp], axis=-1)  # [O,2,11]
+        blk = jnp.einsum("oia,oib,o->oab", jaug, jaug, w, precision=_HI)
 
-        # frame blocks + frame-point coupling
-        blk_ff = jnp.einsum("oia,oib,o->oab", jf, jf, w, precision=_HI)
-        Hff = jnp.einsum("ow,oab->wab", ohs, blk_ff, precision=_HI)
-        bf = -jnp.einsum("ow,oia,oi->wa", ohs, jf, wr, precision=_HI)
-        blk_fp = jnp.einsum("oia,oib,o->oab", jf, jp, w, precision=_HI)
+        # landmark merge: [PW,5,5] holds Cp (rows/cols 1:) and bp (col 0)
+        mp = jnp.einsum("op,oab->pab", ohp, blk[:, 6:, 6:], precision=_HI)
+        Cp = mp[:, 1:, 1:]
+        bp = -mp[:, 1:, 0]
+
+        # frame merge: [W,7,7] holds Hff (:6,:6) and bf (col 6)
+        mf = jnp.einsum("ow,oab->wab", ohs, blk[:, :7, :7], precision=_HI)
+        Hff = mf[:, :6, :6]
+        bf = -mf[:, :6, 6]
+
+        # frame-point coupling
         A = jnp.einsum(
             "op,owab->pwab",
             ohp,
-            jnp.einsum("ow,oab->owab", ohs, blk_fp, precision=_HI),
+            jnp.einsum("ow,oab->owab", ohs, blk[:, :6, 7:], precision=_HI),
             precision=_HI,
         )  # [P,W,6,4]
 

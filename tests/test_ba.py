@@ -154,7 +154,7 @@ def test_cg_solver_matches_dense():
     scene = synthetic.build_scene(CFG, n_frames=8, n_points=40, point_noise=40.0)
     s = scene.state
     free, present = slam.window_masks(s, 6, 8)
-    obs_ok = slam._obs_ok(s, present)
+    obs_ok = slam._obs_ok(s, s.n_frames - 8)
     res = ba_cg.solve(
         s.frame_quat, s.frame_trans, s.frame_cam, s.cam_k,
         s.point_loc, s.point_uncertainty,
@@ -180,7 +180,7 @@ def test_cg_solver_larger_map():
 
     s = scene.state
     free, present = slam_mod.window_masks(s, 30, 30)
-    obs_ok = slam_mod._obs_ok(s, present)
+    obs_ok = slam_mod._obs_ok(s, s.n_frames - 30)
     res = ba_cg.solve(
         s.frame_quat, s.frame_trans, s.frame_cam, s.cam_k,
         s.point_loc, s.point_uncertainty,
@@ -203,13 +203,17 @@ def test_termination_reason_codes():
     scene = synthetic.build_scene(CFG, n_frames=6, n_points=20,
                                   point_noise=100.0)
     s = scene.state
-    # plenty of iterations: this easy problem converges (ftol, or xtol once
-    # the damped step is too small to move the f32 state)
+    # plenty of iterations: this easy problem converges. Which convergence
+    # exit fires is fp-rounding-sensitive: ftol (small accepted decrease),
+    # xtol (step below f32 resolution) or stall (at machine precision every
+    # further step is rejected, collapsing the trust region) — all three
+    # are converged ends; assert the near-total cost reduction explicitly.
     s2, res = slam.solve_frames(s, 0, 6, 2.0, CFG)
     assert bool(res.ok)
-    assert int(res.term) in (ba.TERM_FTOL, ba.TERM_XTOL)
+    assert int(res.term) in (ba.TERM_FTOL, ba.TERM_XTOL, ba.TERM_STALL)
     assert float(res.cost0) >= float(res.cost)
     assert float(res.cost0) > 0.0
+    assert float(res.cost) < 1e-3 * float(res.cost0)
 
     # a 1-iteration cap exits via the cap
     _, res1 = slam.solve_frames(s, 0, 6, 2.0, CFG, max_iters=1)
@@ -229,7 +233,7 @@ def test_obs_window_truncation_counter():
     the overflow; a window that holds everything reports zero."""
     scene = synthetic.build_scene(CFG, n_frames=8, n_points=40)
     s = scene.state
-    n_part = int(jnp.sum(slam._obs_ok(s, slam.window_masks(s, 2, 5)[1])))
+    n_part = int(jnp.sum(slam._obs_ok(s, s.n_frames - 5)))
     assert n_part > 64
 
     _, res_small = slam.solve_frames(s, 2, 5, 2.0, CFG, window_obs=64)

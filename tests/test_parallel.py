@@ -22,7 +22,7 @@ def mesh8():
 def _problem(scene):
     s = scene.state
     free, present = slam.window_masks(s, 4, 8)
-    obs_ok = slam._obs_ok(s, present)
+    obs_ok = slam._obs_ok(s, s.n_frames - 8)
     return s, free, present, obs_ok
 
 
@@ -101,9 +101,9 @@ def test_multi_robot_shared_map():
 
     s0, s1 = sc0.state, sc1.state
     free0, present0 = slam.window_masks(s0, 4, 6)
-    obs_ok0 = slam._obs_ok(s0, present0)
+    obs_ok0 = slam._obs_ok(s0, s0.n_frames - 6)
     free1, present1 = slam.window_masks(s1, 4, 6)
-    obs_ok1 = slam._obs_ok(s1, present1)
+    obs_ok1 = slam._obs_ok(s1, s1.n_frames - 6)
 
     fq, ft, new_locs = multi_robot.solve_shared_map(
         stack(s0.frame_quat, s1.frame_quat),

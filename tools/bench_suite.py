@@ -185,7 +185,7 @@ def main():
         for sc in scenes:
             s5 = sc.state
             free5, present5 = slam.window_masks(s5, 8, 24)
-            ok5 = slam._obs_ok(s5, present5)
+            ok5 = slam._obs_ok(s5, s5.n_frames - 24)
             packs.append((s5.frame_quat, s5.frame_trans, s5.frame_cam,
                           s5.obs_frame, s5.obs_point, s5.obs_px, ok5,
                           present5, free5))
