@@ -105,6 +105,26 @@ def main() -> None:
     fps = 1000.0 / scan_ms
     err = float(np.asarray(errs)[-1])
 
+    # live robot loop (VERDICT r2 item 3): frames arrive one at a time as
+    # on a real robot (main.cpp:503-645). step_live donates the state and
+    # returns ONE packed f32[8] of scalars; frame t's scalars are fetched
+    # only after frame t+1 is dispatched, so the relay round trip rides
+    # under device compute — run_replay --live is this same loop.
+    t_lc = time.time()
+    ps_l, out = pipeline.step_live(ps, imgs[0], cfg)
+    _sync(out)
+    live_compile_s = time.time() - t_lc
+    n_live = n_timed_frames - 1
+    pend = None
+    t0 = time.time()
+    for i in range(1, 1 + n_live):
+        ps_l, out = pipeline.step_live(ps_l, imgs[i % n_timed_frames], cfg)
+        if pend is not None:
+            _sync(pend)
+        pend = out
+    _sync(pend)
+    live_ms = (time.time() - t0) / n_live * 1000
+
     # honest accuracy stats: the reference-parity mean includes disabled
     # outliers and Cauchy-downweighted stragglers; report the robust
     # median over enabled obs and the trajectory ATE vs the known sweep
@@ -143,6 +163,9 @@ def main() -> None:
                     "scan_step_ms": round(scan_ms, 2),
                     "eager_step_ms": round(eager_ms, 2),
                     "eager_fps": round(1000.0 / eager_ms, 2),
+                    "live_step_ms": round(live_ms, 2),
+                    "live_fps": round(1000.0 / live_ms, 2),
+                    "live_compile_s": round(live_compile_s, 1),
                     "compile_s": round(compile_s, 1),
                     "scan_compile_s": round(scan_compile_s, 1),
                     "mean_reproj_err_px": round(err, 3),

@@ -76,37 +76,18 @@ def _bdot(a, b):
     )
 
 
-def newton_window_steps(
-    win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
-    wmask, bounds,
-    threshold: float, max_iters: int, size: int,
-):
-    """Run ``max_iters`` Newton steps for all lanes against per-lane windows.
-
-    win        [F, WH, WW] level pixels; window covers absolute level coords
-               org[f] + (0..WH, 0..WW) (org may be negative: pad offset)
-    pos0       [F, 2] absolute level-coords start (x, y)
-    org        [F, 2] window origin (x, y) in absolute level coords
-    ref*       reference patch stack data/valid/mean/sumsq for this level
-    active     [F] f32 1/0
-    bounds     [F, 2] true level extents (w, h) — runtime values so one
-               kernel serves every pyramid level of a given window shape
-
-    Returns (pos [F,2], status [F] f32, done [F] f32). Pure jnp — runs
-    identically under XLA and inside the Pallas kernel.
-    """
-    F = pos0.shape[0]
+def _newton_iter(state, win, org, ref, ref_valid, r_mean, r_sumsq,
+                 wmask, width, height, threshold: float, size: int):
+    """One Newton step for all lanes (the shared iteration body). Done
+    lanes pass through unchanged, so skipping an all-done iteration is
+    bit-identical to running it."""
+    F = win.shape[0]
     WH, WW = win.shape[1], win.shape[2]
     S = size
     half = (S - 1) // 2
     eps = 1e-12
 
-    r_mean = ref_mean
-    r_sumsq = ref_sumsq
-    width = bounds[:, 0]
-    height = bounds[:, 1]
-
-    def one_iter(state):
+    if True:  # keep the historical body indentation
         pos, status, done = state
         x, y = pos[:, 0], pos[:, 1]
 
@@ -229,12 +210,39 @@ def newton_window_steps(
         )
         return new_pos, new_status, new_done
 
+
+def newton_window_steps(
+    win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
+    wmask, bounds,
+    threshold: float, max_iters: int, size: int,
+):
+    """Run ``max_iters`` Newton steps for all lanes against per-lane windows.
+
+    win        [F, WH, WW] level pixels; window covers absolute level coords
+               org[f] + (0..WH, 0..WW) (org may be negative: pad offset)
+    pos0       [F, 2] absolute level-coords start (x, y)
+    org        [F, 2] window origin (x, y) in absolute level coords
+    ref*       reference patch stack data/valid/mean/sumsq for this level
+    active     [F] f32 1/0
+    bounds     [F, 2] true level extents (w, h) — runtime values so one
+               kernel serves every pyramid level of a given window shape
+
+    Returns (pos [F,2], status [F] f32, done [F] f32). Pure jnp — runs
+    identically under XLA and inside the Pallas kernel.
+    """
+    F = pos0.shape[0]
+    width = bounds[:, 0]
+    height = bounds[:, 1]
+
     pos = pos0
     status = jnp.zeros((F,), jnp.float32)
     done = 1.0 - active
 
     def body(_, state):
-        return one_iter(state)
+        return _newton_iter(
+            state, win, org, ref, ref_valid, ref_mean, ref_sumsq,
+            wmask, width, height, threshold, size,
+        )
 
     pos, status, done = jax.lax.fori_loop(0, max_iters, body, (pos, status, done))
 
@@ -248,14 +256,64 @@ def newton_window_steps(
 
 
 def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
-            w_ref, bounds_ref, pos_out, st_out, *, threshold, max_iters,
-            size):
-    pos, status, _ = newton_window_steps(
-        win_ref[:], pos_ref[:], org_ref[:], ref_ref[:], rv_ref[:],
-        rstat_ref[:, 0], rstat_ref[:, 1], act_ref[:, 0], w_ref[:],
-        bounds_ref[:], threshold, max_iters, size,
+            w_ref, bounds_ref, pos_out, st_out, done_scr, red_scr, *,
+            threshold, max_iters, size):
+    """Kernel body with an ALL-DONE early exit: a done lane passes through
+    ``_newton_iter`` unchanged, so once every lane in the block is done the
+    remaining iterations are identities — ``pl.when`` skips their compute
+    entirely (bit-identical results). Straggler-retry sweeps whose lanes
+    mostly start done, and levels that converge in 2-3 of the budgeted
+    iterations, stop paying for the full budget (~3.1 ms/frame of
+    newton_level custom-calls at the full budget, trace r3).
+
+    Mosaic gotcha (probed): pl.when directly on a vector-reduced value —
+    or on an SMEM store of one — HTTP-500s the remote compiler. The
+    supported route is vector-reduce -> VECTOR store into a VMEM scratch
+    row -> scalar ELEMENT read as the condition (red_scr)."""
+    win = win_ref[:]
+    org = org_ref[:]
+    ref = ref_ref[:]
+    rv = rv_ref[:]
+    r_mean = rstat_ref[:, 0]
+    r_sumsq = rstat_ref[:, 1]
+    active = act_ref[:, 0]
+    wmask = w_ref[:]
+    bounds = bounds_ref[:]
+    width = bounds[:, 0]
+    height = bounds[:, 1]
+    F = pos_ref.shape[0]
+
+    pos_out[:] = pos_ref[:]
+    st_out[:] = jnp.zeros_like(st_out)
+    done0 = 1.0 - active
+    done_scr[:] = jnp.stack([done0, done0], -1)
+
+    def body(_, carry):
+        red_scr[0, :] = jnp.sum(done_scr[:], axis=0)
+
+        @pl.when(red_scr[0, 0] < float(F))
+        def _():
+            pos, status, done = _newton_iter(
+                (pos_out[:], st_out[:][:, 0], done_scr[:][:, 0]),
+                win, org, ref, rv, r_mean, r_sumsq,
+                wmask, width, height, threshold, size,
+            )
+            pos_out[:] = pos
+            st_out[:] = jnp.stack([status, status], -1)
+            done_scr[:] = jnp.stack([done, done], -1)
+
+        return carry
+
+    jax.lax.fori_loop(0, max_iters, body, 0)
+
+    pos = pos_out[:]
+    x, y = pos[:, 0], pos[:, 1]
+    final_oob = (
+        (x < _MARGIN) | (y < _MARGIN)
+        | (x + _MARGIN > width) | (y + _MARGIN > height)
     )
-    pos_out[:] = pos
+    status = jnp.where(final_oob & (active > 0.5), OUT_OF_BOUNDS,
+                       st_out[:][:, 0])
     st_out[:] = jnp.stack([status, status], -1)
 
 
@@ -323,6 +381,8 @@ def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
             pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((bf, 2), jnp.float32),
+                        pltpu.VMEM((1, 2), jnp.float32)],
         interpret=(backend == "interpret"),
     )(win, pos0, org, ref, ref_valid, rstat, act2, wmask, bounds)
     return pos, st[:, 0]
