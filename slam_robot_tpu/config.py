@@ -65,6 +65,22 @@ class SlamConfig:
     corner_min_dist: float = 20.0  # matcher.cpp:129
     suppress_grid: int = 30        # occupancy grid (matcher.cpp:132)
     seed_depth_mm: float = 2000.0  # new-point unproject depth (matcher.cpp:380)
+    seed_depth_adaptive: bool = False  # seed at the median camera depth
+                                   # of converged map points instead of
+                                   # the fixed guess (fallback:
+                                   # seed_depth_mm when <16 confident
+                                   # points vote). MEASURED NEGATIVE as a
+                                   # default (CPU bench sweep A/B): it
+                                   # does flatten the per-segment
+                                   # trajectory scale drift (1.022-1.049
+                                   # -> 1.013-1.017 fits) but doubles ATE
+                                   # (15.4 -> 28.9 mm) via a keyframe
+                                   # storm (19 -> 30): far-seeded points
+                                   # have near-zero parallax per frame, so
+                                   # fresh maps constrain pose weakly and
+                                   # tracking falls below min_matches more
+                                   # often. Kept as a knob for deep scenes
+                                   # where 2000 mm is badly wrong.
     max_views: int = 4             # keyframe view ring (matcher.cpp:397-402)
     uncertainty_confident: float = 100.0  # matcher.cpp:228,234; slam.cpp:347
     find_fail_backoff: int = 4     # straggler rate limit (no ref analog —
@@ -264,7 +280,22 @@ class SlamConfig:
     ba_ftol_fine: float = 1e-9         # slam.cpp:498 (final --final-ba
                                        # polish; kept reference-exact, the
                                        # stall/xtol exits bound it)
-    frame_dist_weight: float = 0.1     # FrameDistance residual (slam.cpp:100)
+    frame_dist_weight: float = 0.3     # FrameDistance residual weight. The
+                                       # reference uses 0.1 (slam.cpp:100),
+                                       # but this prior is the ONLY scale
+                                       # anchor once frames 0/1 freeze
+                                       # (the rig's 150 mm stereo baseline
+                                       # is physically rigid), and at 0.1
+                                       # the trajectory's scale drifts
+                                       # 2-5% per segment on the bench
+                                       # sweep. 0.3 pins the per-segment
+                                       # scale fits to ~1.00 at zero
+                                       # per-frame cost (CPU A/B: ATE
+                                       # 15.4 -> 9.6 mm; w >= 0.5 risks
+                                       # keyframe-cadence storms and
+                                       # w >= 1.5 over-constrains, biasing
+                                       # scale the other way).
+                                       # tools/parity.py pins 0.1
     frame_dist_loss: float = 15.0      # CauchyLoss(15) (slam.cpp:404)
     camera_loss: float = 5.0           # CauchyLoss(5) on intrinsics (slam.cpp:463)
     lm_lambda_init: float = 1e-4
@@ -335,6 +366,8 @@ REFERENCE_EXACT_KW = dict(
     bwd_window_cache=False,
     adaptive_fwd_px=0.0,
     track_iters_coarse=0,
+    seed_depth_adaptive=False,
+    frame_dist_weight=0.1,
 )
 
 

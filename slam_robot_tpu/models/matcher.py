@@ -36,6 +36,7 @@ from slam_robot_tpu.models import localmap as lm
 from slam_robot_tpu.ops import corners as corner_ops
 from slam_robot_tpu.ops import patch as patch_ops
 from slam_robot_tpu.ops import projection as proj
+from slam_robot_tpu.ops import quaternion as quat
 from slam_robot_tpu.ops import pyramid as pyr
 from slam_robot_tpu.ops import tracker
 from slam_robot_tpu.ops import tracker_fused
@@ -606,10 +607,35 @@ def track(
             cpts, cval, occ, cfg.image_width, cfg.image_height, cfg.suppress_grid
         )
 
-        # seed new points at depth 2000 (matcher.cpp:376-385)
+        # seed new points (matcher.cpp:376-385 seeds at a fixed 2000 mm
+        # guess). With seed_depth_adaptive the guess is the MEDIAN CAMERA
+        # DEPTH of the map's converged points instead: a fixed guess far
+        # from the scene's true depth biases every fresh landmark the same
+        # way, and because newly-seeded points drag their first frames
+        # before BA converges them, the bias leaks into poses that then
+        # FREEZE (window exit) — measured as the per-segment scale drift
+        # of the trajectory. Only confident points vote (uncertainty gate)
+        # so the median can't self-perpetuate the 2000 mm seed value.
+        if cfg.seed_depth_adaptive:
+            pm = map_state.point_mask & (
+                map_state.point_uncertainty <= cfg.uncertainty_confident
+            )
+            ploc = map_state.point_loc
+            w_h = jnp.where(jnp.abs(ploc[:, 3]) > 1e-9, ploc[:, 3], 1e-9)
+            xyz = ploc[:, :3] / w_h[:, None]
+            zc = jax.vmap(lambda p: quat.rotate(fq, p - ft)[2])(xyz)
+            ok_z = pm & (zc > 1.0)
+            nv = jnp.sum(ok_z.astype(jnp.int32))
+            zs = jnp.sort(jnp.where(ok_z, zc, jnp.inf))
+            med = zs[jnp.maximum(nv - 1, 0) // 2]
+            seed_depth = jnp.where(
+                nv >= 16, jnp.clip(med, 200.0, 50000.0), cfg.seed_depth_mm
+            )
+        else:
+            seed_depth = cfg.seed_depth_mm
         plane = proj.pixel_to_plane(cpts, k)
         locs = jax.vmap(proj.unproject, in_axes=(None, None, 0, None))(
-            fq, ft, plane, cfg.seed_depth_mm
+            fq, ft, plane, seed_depth
         )
         # free slots of features with no stored match in any live view:
         # with the oldest view just recycled they can never match again

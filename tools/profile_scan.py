@@ -152,6 +152,16 @@ def main():
         elif name.startswith("bo"):  # boN = find_fail_backoff
             cfg = dataclasses.replace(base, find_fail_backoff=int(name[2:]))
             run_variant(name, cfg, frames, n_warm)
+        elif name.startswith("set:"):
+            # generic override: set:key=val[;key=val...] with field-typed
+            # coercion, e.g. set:ba_iters_slow=40;slow_every=4
+            kv = {}
+            for pair in name[4:].split(";"):
+                k, v = pair.split("=")
+                ftype = type(getattr(base, k))
+                kv[k] = (v == "True") if ftype is bool else ftype(v)
+            cfg = dataclasses.replace(base, **kv)
+            run_variant(name, cfg, frames, n_warm)
         else:
             raise SystemExit(f"unknown variant {name}")
 
