@@ -248,6 +248,30 @@ class SlamConfig:
                                        # (5 presented frames x <=120 obs
                                        # plus margin; the einsum O axis
                                        # bills every row each LM iter)
+    ba_compact_obs_fast: int = 512     # compact participating rows to the
+                                       # front of the fast window (one
+                                       # stable argsort per solve) and
+                                       # truncate: each of the ~20 LM
+                                       # iterations bills this many rows
+                                       # instead of window_obs_fast. The
+                                       # (2,5) window carries ~290 active
+                                       # rows (~58 matches x 5 frames);
+                                       # excluded masked rows contributed
+                                       # zero. Overflow past the cap is
+                                       # counted in obs_dropped. 0 = off
+                                       # (tools/parity.py pins 0: fp
+                                       # summation order changes)
+    ba_compact_obs_slow: int = 0       # same for the slow (10,20) window —
+                                       # OFF by default: measured on the
+                                       # rotation-heavy parity sequence
+                                       # (test env, RMSE gate metric), slow
+                                       # compaction's fp-order shift lands
+                                       # a worse cadence draw (1.35% fast-
+                                       # only -> 3.00% both-on, vs 1.76%
+                                       # all-off), and its cost only
+                                       # amortizes 1/slow_every per frame.
+                                       # Re-evaluate on-chip via
+                                       # profile_scan set: variants.
     ba_free_points_fast: int = 512     # free-landmark slot capacity for the
                                        # fast window's assembly tensors
                                        # (ops/ba.py max_free_points): the
@@ -368,6 +392,8 @@ REFERENCE_EXACT_KW = dict(
     track_iters_coarse=0,
     seed_depth_adaptive=False,
     frame_dist_weight=0.1,
+    ba_compact_obs_fast=0,
+    ba_compact_obs_slow=0,
 )
 
 

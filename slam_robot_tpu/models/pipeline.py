@@ -96,6 +96,7 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                 m, cfg.solve_fast[0], cfg.solve_fast[1], cfg.ba_range, cfg,
                 max_iters=cfg.ba_iters_fast, window_obs=cfg.window_obs_fast,
                 max_free_points=cfg.ba_free_points_fast,
+                compact_obs=cfg.ba_compact_obs_fast or None,
             )
             m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
 
@@ -122,6 +123,7 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                     m, cfg.solve_slow[0], cfg.solve_slow[1], cfg.ba_range, cfg,
                     max_iters=cfg.ba_iters_slow,
                     max_free_points=cfg.ba_free_points_slow,
+                    compact_obs=cfg.ba_compact_obs_slow or None,
                 )
                 m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
                 t = lm.clamp_pending(m, cfg.homogeneous_w_min)

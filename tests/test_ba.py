@@ -266,3 +266,32 @@ def test_free_point_compaction_matches_uncompacted():
         np.asarray(part.point_loc) != np.asarray(s.point_loc), axis=1
     )
     assert moved[12:20].all() and not moved[:12].any()
+
+
+def test_compact_obs_matches_uncompacted():
+    # Row compaction (slam._run compact_obs) moves participating rows to
+    # the front and truncates; excluded rows have IRLS weight 0, so the
+    # solve must match up to fp summation order. Also: deliberate
+    # overflow (cap below the active count) is COUNTED, never silent.
+    scene = synthetic.build_scene(
+        CFG, n_frames=8, n_points=40, pixel_noise=0.2, point_noise=30.0
+    )
+    s0 = scene.state
+    n_active = int(jnp.sum(slam._obs_ok(s0, s0.n_frames - 5)))
+    assert n_active > 8
+    a, ra = slam.solve_frames(s0, 2, 5, 2.0, CFG)
+    b, rb = slam.solve_frames(s0, 2, 5, 2.0, CFG, compact_obs=n_active + 7)
+    assert int(rb.obs_dropped) == 0
+    # fp summation order changes and the LM ftol/stall exits may fire an
+    # iteration apart (measured: 24 vs 22 iters, 3.5e-3 mm max pose diff)
+    np.testing.assert_allclose(
+        np.asarray(b.frame_trans), np.asarray(a.frame_trans), atol=0.05
+    )
+    pa, pb = np.asarray(a.point_loc), np.asarray(b.point_loc)
+    np.testing.assert_allclose(
+        pb[:40, :3] / pb[:40, 3:4], pa[:40, :3] / pa[:40, 3:4], atol=0.5
+    )
+    assert abs(float(rb.cost) - float(ra.cost)) < 1e-3 * max(float(ra.cost), 1.0)
+    # overflow: cap below the active count is surfaced in obs_dropped
+    _, res_c = slam.solve_frames(s0, 2, 5, 2.0, CFG, compact_obs=n_active - 5)
+    assert int(res_c.obs_dropped) == 5
