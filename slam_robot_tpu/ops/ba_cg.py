@@ -51,6 +51,55 @@ from slam_robot_tpu.ops.ba import (
 _HI = lax.Precision.HIGHEST
 
 
+def _padded_plan(seg_id, n_segments, K, spill_cap):
+    """Gather plan for segment sums into ``[n_segments, D]``.
+
+    seg_id   [O] int32 segment of each obs row; ids >= n_segments are
+             dropped from the plan entirely (their values are never read).
+    Returns (pad_idx [n_segments, K] row indices with O as the zero-pad
+    sentinel, spill_rows [S], spill_seg [S], spill_exceeded bool). Rows
+    ranked past K within their segment go to the compacted spill (exact);
+    only spill overflow beyond spill_cap loses rows, which the caller
+    surfaces via the returned flag.
+
+    Built ONCE per solve (two [O] argsorts + one searchsorted); afterwards
+    every segment sum is a row gather + K-tree reduce — the measured-fast
+    pattern on this hardware (PERF.md gather economics) — instead of an
+    O-row scatter-add.
+    """
+    O = seg_id.shape[0]
+    order = jnp.argsort(seg_id)
+    sidx = seg_id[order]
+    first = jnp.searchsorted(sidx, sidx, side="left")
+    rank = jnp.arange(O) - first
+    valid = sidx < n_segments
+    in_pad = valid & (rank < K)
+
+    pad_idx = jnp.full((n_segments, K), O, jnp.int32)
+    pad_idx = pad_idx.at[
+        jnp.where(in_pad, sidx, n_segments),
+        jnp.where(in_pad, rank, 0),
+    ].set(jnp.where(in_pad, order, O).astype(jnp.int32), mode="drop")
+
+    spill = valid & (rank >= K)
+    sp_sel = jnp.argsort(~spill)[:spill_cap]
+    sp_is = spill[sp_sel]
+    spill_rows = jnp.where(sp_is, order[sp_sel], O).astype(jnp.int32)
+    spill_seg = jnp.where(sp_is, sidx[sp_sel], n_segments).astype(jnp.int32)
+    exceeded = jnp.sum(spill.astype(jnp.int32)) > spill_cap
+    return pad_idx, spill_rows, spill_seg, exceeded
+
+
+def _padded_seg_sum(vals, pad_idx, spill_rows, spill_seg):
+    """Sum ``vals`` rows per segment via the :func:`_padded_plan` tables.
+    vals [O, D] -> [n_segments, D]; a zero row is appended so the O
+    sentinel contributes nothing."""
+    D = vals.shape[-1]
+    vz = jnp.concatenate([vals, jnp.zeros((1, D), vals.dtype)])
+    out = jnp.sum(vz[pad_idx], axis=1)
+    return out.at[spill_seg].add(vz[spill_rows], mode="drop")
+
+
 class CGConfig(NamedTuple):
     range: float = 2.0
     gn_iters: int = 8             # outer Gauss-Newton steps
@@ -64,6 +113,25 @@ class CGConfig(NamedTuple):
     cheirality_eps: float = 0.001
     precond: str = "block"        # "block" (6x6 inverses) | "diag" (for
                                   # 10k-frame systems where batched LU hurts)
+    layout: str = "scatter"       # "scatter": segment sums as .at[].add
+                                  # over the obs table (O(1M)-row
+                                  # scatter-adds, ~45 of them per GN
+                                  # iteration incl. the CG matvecs) |
+                                  # "padded": one-time sort of the obs
+                                  # table by point and by frame slot into
+                                  # [N, K] padded index tables, after
+                                  # which every segment sum is a row
+                                  # GATHER + tree reduce over K (the
+                                  # fast-by-measurement pattern, PERF.md
+                                  # gather economics). Rows past K per
+                                  # segment spill to a small compacted
+                                  # scatter so results stay EXACT.
+    pad_obs_per_point: int = 8    # K for the point-side padded table
+    pad_obs_per_frame: int = 128  # K for the frame-slot-side padded table
+    pad_spill: int = 4096         # compacted spill capacity (rows beyond
+                                  # K of their segment); overflow beyond
+                                  # THIS falls back row-exact via a full
+                                  # scatter of the spill mask
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -108,6 +176,37 @@ def solve(
     prev_present = jnp.roll(present, 1).at[0].set(False)
     prior_f = free_f & prev_present & (jnp.arange(F) >= 1)
 
+    # segment-sum backends for the O -> [P,*] and O -> [W,*] reductions
+    # (the assembly sums once per GN iteration and the TWO inside every CG
+    # matvec — the hot path). "scatter" is the naive .at[].add; "padded"
+    # pre-sorts the obs table once and turns every reduction into a row
+    # gather + K-tree reduce (see _padded_plan).
+    if cfg.layout == "padded":
+        plan_p = _padded_plan(
+            jnp.where(obs_ok, p_idx, P).astype(jnp.int32), P,
+            cfg.pad_obs_per_point, cfg.pad_spill)
+        plan_f = _padded_plan(
+            jnp.where(obs_ok & (obs_slot < W), obs_slot, W).astype(jnp.int32),
+            W, cfg.pad_obs_per_frame, cfg.pad_spill)
+        spill_ok = ~(plan_p[3] | plan_f[3])
+
+        def seg_p(vals):  # [O, D] -> [P, D]
+            return _padded_seg_sum(vals, plan_p[0], plan_p[1], plan_p[2])
+
+        def seg_f(vals):  # [O, D] -> [W, D]
+            return _padded_seg_sum(vals, plan_f[0], plan_f[1], plan_f[2])
+    else:
+        spill_ok = jnp.bool_(True)
+
+        def seg_p(vals):
+            return jnp.zeros((P, vals.shape[-1]), vals.dtype).at[p_idx].add(
+                vals, mode="drop")
+
+        def seg_f(vals):
+            return jnp.zeros(
+                (W + 1, vals.shape[-1]), vals.dtype
+            ).at[obs_slot].add(vals, mode="drop")[:W]
+
     def residuals(fq, ft, locs):
         def one(q, t, k, loc, px):
             return proj.reprojection_error(q, t, k, loc, px, cfg.cheirality_eps)
@@ -140,14 +239,14 @@ def solve(
         wr = w[:, None] * r
 
         # landmark blocks + gradient
-        Cp = jnp.zeros((P, 4, 4)).at[p_idx].add(
-            jnp.einsum("oia,oib,o->oab", jp, jp, w, precision=_HI), mode="drop")
-        bp = jnp.zeros((P, 4)).at[p_idx].add(
-            -jnp.einsum("oia,oi->oa", jp, wr, precision=_HI), mode="drop")
-        Hff = jnp.zeros((W + 1, 6, 6)).at[obs_slot].add(
-            jnp.einsum("oia,oib,o->oab", jf, jf, w, precision=_HI), mode="drop")[:W]
-        bf = jnp.zeros((W + 1, 6)).at[obs_slot].add(
-            -jnp.einsum("oia,oi->oa", jf, wr, precision=_HI), mode="drop")[:W]
+        Cp = seg_p(
+            jnp.einsum("oia,oib,o->oab", jp, jp, w,
+                       precision=_HI).reshape(O, 16)).reshape(P, 4, 4)
+        bp = seg_p(-jnp.einsum("oia,oi->oa", jp, wr, precision=_HI))
+        Hff = seg_f(
+            jnp.einsum("oia,oib,o->oab", jf, jf, w,
+                       precision=_HI).reshape(O, 36)).reshape(W, 6, 6)
+        bf = seg_f(-jnp.einsum("oia,oi->oa", jf, wr, precision=_HI))
 
         # frame-distance prior: diagonal contributions
         tprev = jnp.roll(ft, 1, axis=0)
@@ -176,20 +275,17 @@ def solve(
         def schur_matvec(x):  # x: [W, 6]
             xg = jnp.concatenate([x, jnp.zeros((1, 6))])[obs_slot]  # [O,6]
             t1 = jnp.einsum("oia,oa->oi", jf, xg, precision=_HI)
-            u = jnp.zeros((P, 4)).at[p_idx].add(
-                jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI), mode="drop")
+            u = seg_p(jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI))
             v = jnp.einsum("pab,pb->pa", Cinv, u, precision=_HI)
             t2 = jnp.einsum("oia,oa->oi", jp, v[p_idx], precision=_HI)
-            y = jnp.zeros((W + 1, 6)).at[obs_slot].add(
-                jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI), mode="drop")[:W]
+            y = seg_f(jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI))
             bx = jnp.einsum("wab,wb->wa", Hff_d, x, precision=_HI)
             return jnp.where(slot_active[:, None], bx - y, x)
 
         # rhs = bf - E C^-1 bp
         v0 = jnp.einsum("pab,pb->pa", Cinv, bp, precision=_HI)
         t2 = jnp.einsum("oia,oa->oi", jp, v0[p_idx], precision=_HI)
-        e_cb = jnp.zeros((W + 1, 6)).at[obs_slot].add(
-            jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI), mode="drop")[:W]
+        e_cb = seg_f(jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI))
         rhs = jnp.where(slot_active[:, None], bf - e_cb, 0.0)
 
         # Jacobi preconditioner (SCHUR_JACOBI)
@@ -228,8 +324,7 @@ def solve(
         # back-substitute points
         xg = jnp.concatenate([x, jnp.zeros((1, 6))])[obs_slot]
         t1 = jnp.einsum("oia,oa->oi", jf, xg, precision=_HI)
-        u = jnp.zeros((P, 4)).at[p_idx].add(
-            jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI), mode="drop")
+        u = seg_p(jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI))
         dp = jnp.einsum("pab,pb->pa", Cinv, bp - u, precision=_HI)
         dp = jnp.where(free_p[:, None], dp, 0.0)
 
@@ -259,7 +354,9 @@ def solve(
         frame_trans=jnp.where(solvable, ft, frame_trans),
         point_loc=jnp.where(solvable, locs, point_loc),
         cam_k=cam_k,
-        ok=solvable,
+        # padded layout: ok also reports spill overflow (pad_spill rows
+        # beyond the per-segment K exhausted — size pad_* to the workload)
+        ok=solvable & spill_ok,
         cost=cost,
         iters=jnp.int32(cfg.gn_iters),
         # fixed-iteration GN: the cap is always the exit reason

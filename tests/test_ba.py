@@ -295,3 +295,35 @@ def test_compact_obs_matches_uncompacted():
     # overflow: cap below the active count is surfaced in obs_dropped
     _, res_c = slam.solve_frames(s0, 2, 5, 2.0, CFG, compact_obs=n_active - 5)
     assert int(res_c.obs_dropped) == 5
+
+
+def test_cg_padded_layout_matches_scatter():
+    # the padded gather layout (sort once, gather+reduce per segment sum)
+    # must match the scatter layout up to fp summation order, including
+    # when segments overflow the per-segment K into the compacted spill
+    from slam_robot_tpu.ops import ba_cg
+    from slam_robot_tpu.utils import synthetic as syn
+
+    prob = syn.build_large_problem(24, 300, obs_per_frame=40)
+    keys = ("frame_quat", "frame_trans", "frame_cam", "cam_k", "point_loc",
+            "point_uncertainty", "obs_frame", "obs_point", "obs_px",
+            "obs_ok", "present", "free_frame")
+    args = tuple(prob[k] for k in keys)
+    base = ba_cg.CGConfig(max_free_frames=24, gn_iters=3, cg_iters=10,
+                          precond="diag")
+    rs = ba_cg.solve(*args, base)
+    # pad_obs_per_point=2 forces heavy spill traffic (avg ~3.2 obs/point)
+    for k_p in (8, 2):
+        rp = ba_cg.solve(*args, base._replace(
+            layout="padded", pad_obs_per_point=k_p, pad_obs_per_frame=64,
+            pad_spill=4096))
+        assert bool(rp.ok), f"spill overflow at K={k_p}"
+        np.testing.assert_allclose(
+            np.asarray(rp.frame_trans), np.asarray(rs.frame_trans),
+            atol=0.05, err_msg=f"K={k_p}")
+        assert abs(float(rp.cost) - float(rs.cost)) < 1e-3 * max(
+            float(rs.cost), 1.0)
+    # spill overflow is REPORTED, not silent: K=1 with a tiny spill cap
+    r_ovf = ba_cg.solve(*args, base._replace(
+        layout="padded", pad_obs_per_point=1, pad_spill=16))
+    assert not bool(r_ovf.ok)

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--gn-iters", type=int, default=5)
     ap.add_argument("--cg-iters", type=int, default=20)
+    ap.add_argument("--layout", default="scatter",
+                    choices=["scatter", "padded"])
     ap.add_argument("--platform", default="",
                     help="force jax platform (cpu) — env vars are too late, "
                          "sitecustomize already imported jax")
@@ -54,7 +56,8 @@ def main():
     nf, npts, opf = (200, 5000, 60) if args.small else (10000, 500000, 100)
     prob = synthetic.build_large_problem(nf, npts, obs_per_frame=opf)
     cgc = ba_cg.CGConfig(max_free_frames=nf, gn_iters=args.gn_iters,
-                         cg_iters=args.cg_iters, precond="diag")
+                         cg_iters=args.cg_iters, precond="diag",
+                         layout=args.layout)
     keys = ("frame_quat", "frame_trans", "frame_cam", "cam_k", "point_loc",
             "point_uncertainty", "obs_frame", "obs_point", "obs_px",
             "obs_ok", "present", "free_frame")
