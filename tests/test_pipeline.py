@@ -131,3 +131,35 @@ def test_window_cache_closed_loop_bit_identical():
         np.asarray(ps_off.map.frame_trans[:nf]),
         err_msg="trajectories diverged bitwise",
     )
+
+
+def test_step_live_matches_step():
+    # the live-loop variant (donated state, one packed f32[8] of scalars)
+    # must evolve the same state as the full-metrics step and pack the
+    # scalars the robot loop polls in the documented order
+    src = sources.SyntheticSource(CFG, n_frames=6, n_points=400, step_mm=10.0)
+    frames = [jnp.asarray(src.get(i % 2, i)) for i in range(6)]
+
+    ps_a = pipeline.init(CFG, scaled_intrinsics(CFG))
+    mets = []
+    for img in frames:
+        ps_a, met = pipeline.step(ps_a, img, CFG)
+        mets.append(met)
+
+    ps_b = pipeline.init(CFG, scaled_intrinsics(CFG))
+    packs = []
+    for img in frames:
+        ps_b, out = pipeline.step_live(ps_b, img, CFG)
+        packs.append(np.asarray(out))
+
+    np.testing.assert_allclose(
+        np.asarray(ps_b.map.frame_trans), np.asarray(ps_a.map.frame_trans),
+        atol=1e-4,
+    )
+    assert int(ps_b.map.n_points) == int(ps_a.map.n_points)
+    m, p = mets[-1], packs[-1]
+    assert p.shape == (8,)
+    assert int(p[0]) == int(m["n_matches"])
+    assert int(p[1]) == int(m["is_keyframe"])
+    np.testing.assert_allclose(p[2], float(m["mean_reproj_err"]), rtol=1e-5)
+    assert int(p[4]) == int(m["n_points"])
