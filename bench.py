@@ -28,7 +28,36 @@ def _sync(x):
     return _np.asarray(x)
 
 
+def _probe_device(timeout_s: int = 150) -> bool:
+    """Probe the TPU backend in a SUBPROCESS: when the axon tunnel is down,
+    backend init inside this process hangs ~20 minutes in C++ before
+    failing (observed 2026-08-17) — unkillable from Python. A subprocess
+    probe fails fast and lets the bench emit a diagnosable JSON line."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "SLAM fps (track+match+BA) 640x480, 1k-landmark map, 1 chip",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "detail": {"error": "TPU backend unavailable (axon tunnel "
+                                "down; subprocess probe failed)"},
+        }))
+        return
+
     import jax
 
     # persistent compile cache: the pipeline module is large and the TPU
