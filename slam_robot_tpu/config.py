@@ -335,6 +335,48 @@ class SlamConfig:
                                        # exact ReprojectMap; older rows'
                                        # errors only change when their
                                        # point moves under a free frame)
+    polish_at: int = 0                 # one-time early-trajectory polish:
+                                       # at this frame index run a
+                                       # SolveAllFrames-style wide solve
+                                       # (slam.cpp:447-480 exists for
+                                       # exactly this) freeing every frame
+                                       # except the 0/1 gauge anchor. The
+                                       # sliding windows freeze the early
+                                       # chain before the map has enough
+                                       # baseline to pin its scale and
+                                       # heading (PERF.md finding 21:
+                                       # drifting 2-3% per-segment scale +
+                                       # 1.67 deg early-locked rotation);
+                                       # re-solving the early frames once,
+                                       # with all later evidence present,
+                                       # repairs both. 0 = off
+    polish_solve: int = 0              # frames freed by the polish
+                                       # (0 -> polish_at - 1: everything
+                                       # but the frame-0/1 anchor)
+    ba_iters_polish: int = 40          # LM budget for the polish solve
+    solve_xslow: tuple[int, int] = (0, 0)  # third BA tier (no ref analog;
+                                       # the rolling form of the polish):
+                                       # every xslow_every frames, free the
+                                       # newest solve_xslow[0] frames
+                                       # against solve_xslow[1] presented —
+                                       # wide enough to reach back past
+                                       # where the (10,20) window froze the
+                                       # chain, repairing scale/heading
+                                       # drift while the anchor frames are
+                                       # still presented. (0,0) = off
+    xslow_every: int = 24              # cadence of the xslow tier
+    ba_iters_xslow: int = 30           # LM budget for the xslow tier
+    normalize_canary_rows: int = 64    # rows of the post-normalize
+                                       # invariance canary: the reference
+                                       # CHECKs reprojection-error
+                                       # invariance across Normalize EVERY
+                                       # frame to +-0.1 (main.cpp:602-605);
+                                       # the rebuild recomputes only on
+                                       # slow/touched frames, so this
+                                       # re-projects the newest K obs rows
+                                       # every frame and surfaces the max
+                                       # per-row drift as a metric
+                                       # (normalize_canary_px). 0 = off
 
     # ---- optional behaviors (declared but unwired in the reference) ----
     mid_frame_resolve: bool = False    # matches<40 -> epipolar pose

@@ -650,6 +650,48 @@ def mean_obs_error(state: MapState, window: int | None = None) -> jnp.ndarray:
     )
 
 
+def normalize_canary(state: MapState, rows: int = 64,
+                     cheirality_eps: float = 0.001) -> jnp.ndarray:
+    """Per-frame invariance canary for :func:`normalize` (main.cpp:602-605).
+
+    The reference CHECKs that the mean reprojection error is unchanged
+    across Normalize EVERY frame (+-0.1); the pipeline's fast path reuses
+    stored errors instead of re-projecting, which leaves a window where a
+    normalize corruption could hide until the next slow/touched frame.
+    This re-projects only the newest ``rows`` obs rows against the CURRENT
+    (post-normalize) geometry and returns the max per-row difference (px)
+    between the fresh error norm and the stored one. Rows failing the
+    cheirality test, masked rows, and stored-sentinel rows (err == px,
+    see :func:`mean_obs_error`) are excluded.
+    """
+    O = state.obs_frame.shape[0]
+    rows = min(rows, O)
+    start = jnp.maximum(state.n_obs - rows, 0)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, rows, 0)
+    obs_frame, obs_point = sl(state.obs_frame), sl(state.obs_point)
+    obs_px, obs_err, obs_mask = sl(state.obs_px), sl(state.obs_err), sl(state.obs_mask)
+
+    f = obs_frame.clip(0)
+    p = obs_point.clip(0)
+    q = state.frame_quat[f]
+    t = state.frame_trans[f]
+    k = state.cam_k[state.frame_cam[f]]
+    loc = state.point_loc[p]
+    px, valid = jax.vmap(proj.project_point, in_axes=(0, 0, 0, 0, None))(
+        q, t, k, loc, cheirality_eps
+    )
+    sentinel = jnp.all(obs_err == obs_px, axis=-1)
+    # rows whose stored error is exactly (0,0) have never been written by
+    # reproject (a genuine fp error of exactly zero in both components is
+    # measure-zero): new observations committed on a frame whose BA solve
+    # aborted carry them until the next reproject — not a normalize fault
+    unwritten = jnp.all(obs_err == 0.0, axis=-1)
+    counted = valid & obs_mask & ~sentinel & ~unwritten
+    fresh = jnp.linalg.norm(px - obs_px, axis=-1)
+    stored = jnp.linalg.norm(obs_err, axis=-1)
+    return jnp.max(jnp.where(counted, jnp.abs(fresh - stored), 0.0))
+
+
 def clamp_pending(state: MapState, w_min: float = 1e-6) -> jnp.ndarray:
     """True iff :func:`clean`'s homogeneous-w clamp (localmap.cpp:299-306)
     will move any usable point on this state: the clamp replaces w with

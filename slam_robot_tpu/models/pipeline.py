@@ -138,6 +138,61 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
 
             m, res_slow, touched = jax.lax.cond(slow_due, do_slow, no_slow, m)
 
+            # third BA tier (the rolling polish): every xslow_every frames,
+            # a window wide enough to reach back past where the (10,20)
+            # tier froze the chain — repairs the scale/heading drift the
+            # sliding windows lock in (PERF.md finding 21) while anchor
+            # frames are still presented
+            polish_due = jnp.bool_(False)
+            if cfg.solve_xslow[0]:
+                xs, xp = cfg.solve_xslow
+                xslow_due = (
+                    (jnp.mod(frame_idx, cfg.xslow_every) == 0)
+                    & (frame_idx > xp)
+                )
+
+                def do_xslow(m):
+                    m, _res = slam.solve_frames(
+                        m, xs, xp, cfg.ba_range, cfg,
+                        max_iters=cfg.ba_iters_xslow,
+                        max_free_points=cfg.ba_free_points_slow,
+                    )
+                    m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
+                    t = lm.clamp_pending(m, cfg.homogeneous_w_min)
+                    m, _ok = lm.clean(m, cfg.error_threshold, cfg)
+                    return m, t
+
+                m, touched = jax.lax.cond(
+                    xslow_due, do_xslow, lambda m: (m, touched), m
+                )
+                polish_due = polish_due | xslow_due
+
+            # one-time early-trajectory polish (the SolveAllFrames the
+            # reference keeps for exactly this, slam.cpp:447-480): free
+            # every frame except the 0/1 gauge anchor once, with all
+            # evidence so far presented, to repair the scale/heading the
+            # sliding windows locked in before the map had baseline
+            # (PERF.md finding 21)
+            if cfg.polish_at:
+                ns = cfg.polish_solve or (cfg.polish_at - 1)
+                once_due = frame_idx == cfg.polish_at
+
+                def do_polish(m):
+                    m, _res = slam.solve_frames(
+                        m, ns, ns + 2, cfg.ba_range, cfg,
+                        max_iters=cfg.ba_iters_polish,
+                        max_free_points=cfg.ba_free_points_slow,
+                    )
+                    m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
+                    t = lm.clamp_pending(m, cfg.homogeneous_w_min)
+                    m, _ok = lm.clean(m, cfg.error_threshold, cfg)
+                    return m, t
+
+                m, touched = jax.lax.cond(
+                    once_due, do_polish, lambda m: (m, touched), m
+                )
+                polish_due = polish_due | once_due
+
             m = lm.apply_epipolar_constraint(m, cfg)
 
             # ReprojectMap parity (main.cpp:602): epipolar only disabled
@@ -149,7 +204,7 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             def reuse(m):
                 return m, lm.mean_obs_error(m, window=rw)
 
-            m, err1 = jax.lax.cond(touched, recompute, reuse, m)
+            m, err1 = jax.lax.cond(touched | polish_due, recompute, reuse, m)
             m = lm.normalize(m)
             # post-normalize ReprojectMap (main.cpp:604): Normalize is a
             # similarity transform — reprojection errors are INVARIANT
@@ -158,7 +213,19 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             # real projection only where geometry moved (w-clamp) or on
             # slow-window frames, which keeps normalize_err_drift a live
             # guard at the slow cadence instead of every frame
-            m, err2 = jax.lax.cond(touched | slow_due, recompute, reuse, m)
+            m, err2 = jax.lax.cond(
+                touched | slow_due | polish_due, recompute, reuse, m
+            )
+            # per-frame normalize invariance canary (main.cpp:602-605
+            # CHECKs every frame to +-0.1; the reuse fast path above
+            # otherwise leaves normalize unchecked until the next
+            # slow/touched frame)
+            if cfg.normalize_canary_rows:
+                canary = lm.normalize_canary(
+                    m, cfg.normalize_canary_rows, cfg.cheirality_eps
+                )
+            else:
+                canary = jnp.float32(0.0)
             if cfg.drop_idle_frames:
                 # the reference declares but never calls this
                 # (localmap.cpp:173-187); opt-in behavior
@@ -182,16 +249,16 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                 )
             else:
                 repro_dropped = jnp.int32(0)
-            return m, res_fast, res_slow, err1, err2, repro_dropped
+            return m, res_fast, res_slow, err1, err2, repro_dropped, canary
 
         def skip_slam(m):
             zero_res = slam_zero_result(m, cfg)
             return (m, zero_res, zero_res, jnp.float32(0.0),
-                    jnp.float32(0.0), jnp.int32(0))
+                    jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0))
 
         # the reference skips BA on the very first frame (prev image check,
         # main.cpp:570-573)
-        m, res_fast, res_slow, err1, err2, repro_dropped = jax.lax.cond(
+        m, res_fast, res_slow, err1, err2, repro_dropped, canary = jax.lax.cond(
             frame_idx >= 1, do_slam, skip_slam, m
         )
         metrics.update(
@@ -208,6 +275,7 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             slow_iters=res_slow.iters,
             mean_reproj_err=err2,
             normalize_err_drift=jnp.abs(err1 - err2),
+            normalize_canary_px=canary,
             ba_cost=res_fast.cost,
             # per-solve termination report (the Ceres BriefReport analog,
             # slam.cpp:510-518): ba.TERM_* codes + cost before/after
@@ -229,6 +297,7 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
             slow_iters=jnp.int32(0),
             mean_reproj_err=jnp.float32(0.0),
             normalize_err_drift=jnp.float32(0.0),
+            normalize_canary_px=jnp.float32(0.0),
             ba_cost=jnp.float32(0.0),
             fast_term=jnp.int32(0),
             slow_term=jnp.int32(0),

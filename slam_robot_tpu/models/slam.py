@@ -158,8 +158,11 @@ def solve_frames(state: lm.MapState, num_to_solve: int, num_to_present: int,
     # than exists (trace-measured); W=2 shrinks it proportionally.
     bcfg = bcfg._replace(
         # at least one slot: point-only solves (num_to_solve=0) still need
-        # a well-formed (all-masked) reduced frame system
-        max_free_frames=max(1, min(bcfg.max_free_frames, int(num_to_solve)))
+        # a well-formed (all-masked) reduced frame system. Sized to the
+        # window exactly — undersizing would silently demote free frames
+        # to const (ba.py slot overflow guard), which the polish pass
+        # (num_to_solve > 16) must not hit
+        max_free_frames=max(1, int(num_to_solve))
     )
     if max_free_points is not None:
         bcfg = bcfg._replace(max_free_points=int(max_free_points))

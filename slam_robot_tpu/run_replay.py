@@ -25,27 +25,30 @@ import time
 def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
     """The live robot loop (main.cpp:503-645 cadence): pipeline.step_live
     donates the ~70 MB state in place and returns ONE packed f32[8] of
-    scalars; frame t's scalars are fetched only after frame t+1 has been
-    dispatched, so the relay round trip rides under device compute. The
-    frame line therefore prints one frame late — the price of keeping the
-    device busy."""
+    scalars per frame. Each fetch through the axon relay is a synchronous
+    ~24 ms round trip while dispatches are ~0.4 ms and concurrent fetches
+    overlap (tools/probe_fetch.py), so the scalars are fetched on a
+    FetchPool thread: the loop dispatches at device rate and the frame
+    line prints ~one relay latency late — the price of keeping the device
+    busy. The slow-BA-failure stop likewise lands a frame or two late."""
     import json as _json
 
     import jax.numpy as jnp
-    import numpy as np
 
     from slam_robot_tpu.io import sources
     from slam_robot_tpu.models import pipeline
     from slam_robot_tpu.utils import dump as dump_util
+    from slam_robot_tpu.utils.fetchpool import FetchPool
 
     t_start = time.time()
     n_done = 0
-    pending = None          # (fid, cam, packed-device-scalars, dispatch wall)
     stop = False
+    pool = FetchPool(workers=3)
+    last_t0 = None
 
-    def report(fid, cam, out, dt):
+    def report(meta, v):
         nonlocal stop
-        v = np.asarray(out)            # the ONE fetch per frame
+        fid, cam, dt = meta
         if run_slam and v[3] < 0.5:
             print("slow BA window failed; stopping (main.cpp:591-594)")
             stop = True
@@ -67,6 +70,9 @@ def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
             rec.save(fid, img)
         ps, out = pipeline.step_live(ps, jnp.asarray(img), cfg, run_slam)
         n_done += 1
+        dt = 0.0 if last_t0 is None else t0 - last_t0
+        last_t0 = t0
+        pool.submit(out, (fid, cam, dt))
         if args.view_dir and fid % max(args.view_every, 1) == 0:
             from PIL import Image
 
@@ -76,12 +82,11 @@ def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
             Image.fromarray(overlay).save(
                 os.path.join(args.view_dir, f"frame_{fid:05d}.png")
             )
-        if pending is not None:
-            report(pending[0], pending[1], pending[2],
-                   t0 - pending[3])
-        pending = (fid, cam, out, t0)
-    if pending is not None:
-        report(pending[0], pending[1], pending[2], time.time() - pending[3])
+        for meta, v in pool.drain():
+            report(meta, v)
+    for meta, v in pool.join():
+        report(meta, v)
+    pool.close()
 
     wall = time.time() - t_start
     if rec is not None:

@@ -133,6 +133,55 @@ def test_window_cache_closed_loop_bit_identical():
     )
 
 
+def test_normalize_canary_zero_in_loop_and_detects_corruption():
+    """The per-frame normalize canary (main.cpp:602-605 checks invariance
+    EVERY frame): ~0 through a healthy closed loop, nonzero the moment
+    post-normalize geometry disagrees with the stored error table."""
+    ps, hist, src = run_frames(8)
+    assert all(h["normalize_canary_px"] < 0.1 for h in hist), (
+        [h["normalize_canary_px"] for h in hist]
+    )
+
+    # inject a normalize-style corruption: scale all point positions by 2%
+    # without touching stored errors (what a buggy similarity transform
+    # would do). The canary must see it immediately.
+    m = ps.map
+    bad = m._replace(point_loc=m.point_loc * jnp.array([1.02, 1.02, 1.02, 1.0]))
+    drift = float(lm.normalize_canary(bad, CFG.normalize_canary_rows,
+                                      CFG.cheirality_eps))
+    assert drift > 0.1, drift
+
+
+def test_polish_pass_improves_early_trajectory():
+    """The one-time early-trajectory polish (cfg.polish_at) re-solves every
+    frame but the 0/1 gauge anchor once (the reference's SolveAllFrames,
+    slam.cpp:447-480). It must leave the loop healthy and not degrade the
+    trajectory vs ground truth."""
+    import dataclasses
+
+    n = 14
+    src = sources.SyntheticSource(CFG, n_frames=n, n_points=400, step_mm=10.0)
+
+    def run(cfg):
+        ps = pipeline.init(cfg, scaled_intrinsics(cfg))
+        for i in range(n):
+            ps, met = pipeline.step(ps, jnp.asarray(src.get(i % 2, i)), cfg)
+        nf = int(ps.map.n_frames)
+        est = np.asarray(ps.map.frame_trans[:nf])
+        true = np.asarray(src.true_trans[:nf])
+        ate = float(np.sqrt(((est - true) ** 2).sum(1)).mean())
+        return ps, met, ate
+
+    cfg_p = dataclasses.replace(CFG, polish_at=8)
+    ps, met, ate_p = run(cfg_p)
+    _, _, ate_base = run(CFG)
+    # loop stays healthy through and after the polish frame
+    assert float(met["mean_reproj_err"]) < 2.0
+    assert int(ps.map.n_frames) == n
+    # polish must not make the trajectory meaningfully worse
+    assert ate_p <= ate_base * 1.5 + 0.5, (ate_p, ate_base)
+
+
 def test_step_live_matches_step():
     # the live-loop variant (donated state, one packed f32[8] of scalars)
     # must evolve the same state as the full-metrics step and pack the

@@ -159,7 +159,13 @@ def main():
             for pair in name[4:].split(";"):
                 k, v = pair.split("=")
                 ftype = type(getattr(base, k))
-                kv[k] = (v == "True") if ftype is bool else ftype(v)
+                if ftype is bool:
+                    kv[k] = v == "True"
+                elif ftype is tuple:
+                    # e.g. set:solve_xslow=24x32 (x-separated ints)
+                    kv[k] = tuple(int(t) for t in v.split("x"))
+                else:
+                    kv[k] = ftype(v)
             cfg = dataclasses.replace(base, **kv)
             run_variant(name, cfg, frames, n_warm)
         else:
