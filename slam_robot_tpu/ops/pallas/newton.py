@@ -76,8 +76,83 @@ def _bdot(a, b):
     )
 
 
+def _expand_rows(vals, size: int, G: int):
+    """[B, G] per-lane scalars -> [B, G*2S, 1] with each lane's value
+    repeated over its 2S rows. jnp.repeat crashes the remote Mosaic
+    compiler (tools/probe_mosaic4 G1); a G-term iota-masked sum is in the
+    probed-safe set (G4)."""
+    B = vals.shape[0]
+    M = G * 2 * size
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1) // (2 * size)
+    out = jnp.zeros((B, M), vals.dtype)
+    for g in range(G):
+        out = out + jnp.where(lane == g, vals[:, g][:, None],
+                              jnp.zeros((), vals.dtype))
+    return out[:, :, None]
+
+
+def _banded_pair_grouped(frac, start, length: int, size: int, G: int):
+    """Grouped [B, G*2S, G*length] banded selection matrix: G lanes share
+    one matmul, each lane's 26 rows carrying its bilinear band inside its
+    own K-block of ``length`` columns. Contracting against the lanes'
+    windows stacked along K ([B, G*length, N]) yields the per-lane products
+    vertically stacked — one [104, 128]-shaped MXU op instead of four
+    [26, 32] ones (K fills the full 128-deep systolic array). Off-band
+    entries are exact +0.0 — an exact identity under the MXU's sequential
+    K accumulation (XLA:CPU's blocked reductions may reassociate, ~1e-5)."""
+    B = frac.shape[0] // G
+    M = G * 2 * size
+    K = G * length
+    fr = _expand_rows(frac.reshape(B, G), size, G)
+    stg = start.reshape(B, G) + length * jax.lax.broadcasted_iota(
+        jnp.int32, (B, G), 1
+    )
+    st = _expand_rows(stg, size, G)
+    r = jax.lax.broadcasted_iota(jnp.int32, (B, M, K), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (B, M, K), 2)
+    i2 = r % (2 * size)
+    isd = i2 >= size
+    i = jnp.where(isd, i2 - size, i2)
+    w0 = jnp.where(isd, -1.0, 1.0 - fr)
+    w1 = jnp.where(isd, 1.0, fr)
+    return jnp.where(k == i + st, w0, 0.0) + jnp.where(k == i + st + 1, w1, 0.0)
+
+
+def _sample_grouped(win, fx, fy, x0c, y0c, size: int, G: int):
+    """The two banded bilinear products with G lanes stacked per MXU op.
+
+    win [F, WH, WW]; returns res [F, 2S, 2S] — numerically the ungrouped
+    rowp @ win @ colp (the extra contraction entries multiply exact
+    zeros; bit-identity holds under sequential K accumulation, i.e. the
+    MXU — XLA:CPU blocked reductions reassociate at ~1e-5).
+
+    Row product: Rstack [B, M, G*WH] @ win stacked along K. Column
+    product runs TRANSPOSED to stay banded-grouped without a
+    block-diagonal expansion (broadcast-4D+reshape crashes Mosaic,
+    probe_mosaic4 G2): res^T = Cstack [B, M, G*WW] @ t^T stacked
+    [B, G*WW, 2S], then per-lane [2S,2S] blocks transpose back via the
+    probe-safe 4-D reshape+swapaxes (G5)."""
+    F, WH, WW = win.shape
+    S = size
+    B = F // G
+    M = G * 2 * S
+
+    rowp = _banded_pair_grouped(fy, y0c, WH, S, G)        # [B, M, G*WH]
+    t = _bdot(rowp, win.reshape(B, G * WH, WW))           # [B, M, WW]
+
+    # t^T per lane, stacked along K: [B, M, WW] -> [B, G*WW, 2S]
+    tt = jnp.swapaxes(t.reshape(B, G, 2 * S, WW), -1, -2)
+    tstack = tt.reshape(B, G * WW, 2 * S)
+
+    colb = _banded_pair_grouped(fx, x0c, WW, S, G)        # [B, M, G*WW]
+    res_t = _bdot(colb, tstack)                           # [B, M, 2S]
+    res = jnp.swapaxes(res_t.reshape(B, G, 2 * S, 2 * S), -1, -2)
+    return res.reshape(F, 2 * S, 2 * S)
+
+
 def _newton_iter(state, win, org, ref, ref_valid, r_mean, r_sumsq,
-                 wmask, width, height, threshold: float, size: int):
+                 wmask, width, height, threshold: float, size: int,
+                 group: int = 1):
     """One Newton step for all lanes (the shared iteration body). Done
     lanes pass through unchanged, so skipping an all-done iteration is
     bit-identical to running it."""
@@ -109,13 +184,18 @@ def _newton_iter(state, win, org, ref, ref_valid, r_mean, r_sumsq,
         x0c = jnp.clip(x0, 0, WW - (S + 1))
         y0c = jnp.clip(y0, 0, WH - (S + 1))
 
-        rowp = _banded_pair(fy, y0c, WH, S)                     # [F,2S,WH]
-        colp = _banded_pair(fx, x0c, WW, S).transpose(0, 2, 1)  # [F,WW,2S]
-
         # one stacked product yields the patch and all its bilinear
-        # derivatives: res = [row;drow] @ win @ [col,dcol]
-        t = _bdot(rowp, win)       # [F,2S,WW]  rows: interp | d/dy
-        res = _bdot(t, colp)       # [F,2S,2S]
+        # derivatives: res = [row;drow] @ win @ [col,dcol]. group > 1
+        # stacks that many lanes per MXU op (bit-identical — the padding
+        # is exact zeros), filling the 128-deep contraction instead of
+        # running 26x32 tiles at ~20% utilization (PERF.md r2 lever b)
+        if group > 1:
+            res = _sample_grouped(win, fx, fy, x0c, y0c, S, group)
+        else:
+            rowp = _banded_pair(fy, y0c, WH, S)                     # [F,2S,WH]
+            colp = _banded_pair(fx, x0c, WW, S).transpose(0, 2, 1)  # [F,WW,2S]
+            t = _bdot(rowp, win)       # [F,2S,WW]  rows: interp | d/dy
+            res = _bdot(t, colp)       # [F,2S,2S]
         p2 = res[:, :S, :S]        # patch
         u = res[:, :S, S:]         # dp2/dx
         v = res[:, S:, :S]         # dp2/dy
@@ -214,7 +294,7 @@ def _newton_iter(state, win, org, ref, ref_valid, r_mean, r_sumsq,
 def newton_window_steps(
     win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
     wmask, bounds,
-    threshold: float, max_iters: int, size: int,
+    threshold: float, max_iters: int, size: int, group: int = 1,
 ):
     """Run ``max_iters`` Newton steps for all lanes against per-lane windows.
 
@@ -241,7 +321,7 @@ def newton_window_steps(
     def body(_, state):
         return _newton_iter(
             state, win, org, ref, ref_valid, ref_mean, ref_sumsq,
-            wmask, width, height, threshold, size,
+            wmask, width, height, threshold, size, group,
         )
 
     pos, status, done = jax.lax.fori_loop(0, max_iters, body, (pos, status, done))
@@ -257,7 +337,7 @@ def newton_window_steps(
 
 def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
             w_ref, bounds_ref, pos_out, st_out, done_scr, red_scr, *,
-            threshold, max_iters, size):
+            threshold, max_iters, size, group):
     """Kernel body with an ALL-DONE early exit: a done lane passes through
     ``_newton_iter`` unchanged, so once every lane in the block is done the
     remaining iterations are identities — ``pl.when`` skips their compute
@@ -296,7 +376,7 @@ def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
             pos, status, done = _newton_iter(
                 (pos_out[:], st_out[:][:, 0], done_scr[:][:, 0]),
                 win, org, ref, rv, r_mean, r_sumsq,
-                wmask, width, height, threshold, size,
+                wmask, width, height, threshold, size, group,
             )
             pos_out[:] = pos
             st_out[:] = jnp.stack([status, status], -1)
@@ -319,11 +399,11 @@ def _kernel(win_ref, pos_ref, org_ref, ref_ref, rv_ref, rstat_ref, act_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("threshold", "max_iters", "size", "backend"),
+    static_argnames=("threshold", "max_iters", "size", "backend", "group"),
 )
 def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
                  wmask, bounds, threshold=0.001, max_iters=6,
-                 size=13, backend="pallas"):
+                 size=13, backend="pallas", group=1):
     """Batched per-level Newton refinement. Returns (pos [F,2], status [F]).
 
     ``bounds`` [F,2]: the level's true (width, height) per lane.
@@ -336,7 +416,7 @@ def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
         pos, status, _ = newton_window_steps(
             win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
             wmask, bounds, float(threshold),
-            int(max_iters), int(size),
+            int(max_iters), int(size), int(group),
         )
         return pos, status
 
@@ -346,6 +426,7 @@ def newton_level(win, pos0, org, ref, ref_valid, ref_mean, ref_sumsq, active,
     kern = functools.partial(
         _kernel,
         threshold=float(threshold), max_iters=int(max_iters), size=S,
+        group=int(group),
     )
     rstat = jnp.stack([ref_mean, ref_sumsq], -1)
     act2 = jnp.stack([active, active], -1)
