@@ -22,7 +22,7 @@ import sys
 import time
 
 
-def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
+def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     """The live robot loop (main.cpp:503-645 cadence): pipeline.step_live
     donates the ~70 MB state in place and returns ONE packed f32[8] of
     scalars per frame. Each fetch through the axon relay is a synchronous
@@ -45,6 +45,7 @@ def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
     stop = False
     pool = FetchPool(workers=3)
     last_t0 = None
+    last_status = {}
 
     def report(meta, v):
         nonlocal stop
@@ -52,6 +53,11 @@ def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
         if run_slam and v[3] < 0.5:
             print("slow BA window failed; stopping (main.cpp:591-594)")
             stop = True
+        last_status.update(
+            frame=fid, cam=cam, matches=int(v[0]), keyframe=bool(v[1] > 0.5),
+            points=int(v[4]), err=round(float(v[2]), 3),
+            ba_iters=f"{int(v[6])}+{int(v[7])}",
+        )
         if not args.quiet:
             print(
                 f"frame {fid:4d} cam {cam}: matches {int(v[0]):3d} "
@@ -73,15 +79,21 @@ def _live_loop(args, cfg, src, ps, run_slam, rec) -> int:
         dt = 0.0 if last_t0 is None else t0 - last_t0
         last_t0 = t0
         pool.submit(out, (fid, cam, dt))
-        if args.view_dir and fid % max(args.view_every, 1) == 0:
-            from PIL import Image
-
+        if (args.view_dir or view) and fid % max(args.view_every, 1) == 0:
             from slam_robot_tpu.utils.debug_draw import draw_debug
 
+            # ps.map here is the NEW state — its buffers stay alive until
+            # donated to the next dispatch, but drawing fetches them
+            # through the relay, so it runs at --view-every cadence only
             overlay = draw_debug(ps.map, img)
-            Image.fromarray(overlay).save(
-                os.path.join(args.view_dir, f"frame_{fid:05d}.png")
-            )
+            if args.view_dir:
+                from PIL import Image
+
+                Image.fromarray(overlay).save(
+                    os.path.join(args.view_dir, f"frame_{fid:05d}.png")
+                )
+            if view:
+                view.publish(overlay, last_status)
         for meta, v in pool.drain():
             report(meta, v)
     for meta, v in pool.join():
@@ -148,6 +160,12 @@ def main(argv=None) -> int:
                          "the live-GUI observability analog")
     ap.add_argument("--view-every", type=int, default=5,
                     help="overlay dump cadence for --view-dir (default 5)")
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="serve the DrawDebug overlay live at "
+                         "http://HOST:PORT/ (MJPEG stream + status line) — "
+                         "the reference's interactive GUI loop analog "
+                         "(main.cpp:609-638) for a headless TPU host; "
+                         "works with and without --live")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -200,6 +218,13 @@ def main(argv=None) -> int:
     if args.view_dir:
         os.makedirs(args.view_dir, exist_ok=True)
 
+    view = None
+    if args.serve:
+        from slam_robot_tpu.utils.liveview import LiveView
+
+        view = LiveView(port=args.serve).start()
+        print(f"live view: http://0.0.0.0:{view.port}/")
+
     # BA termination-reason short names (ops/ba.TERM_*), the per-solve
     # Ceres BriefReport analog (slam.cpp:510-518)
     term_names = {0: "-", 1: "ftol", 2: "xtol", 3: "stall", 4: "cap"}
@@ -209,7 +234,7 @@ def main(argv=None) -> int:
             print("--live is incompatible with --debug-numerics/"
                   "--patch-history", file=sys.stderr)
             return 1
-        return _live_loop(args, cfg, src, ps, run_slam, rec)
+        return _live_loop(args, cfg, src, ps, run_slam, rec, view)
 
     t_start = time.time()
     n_done = 0
@@ -229,17 +254,26 @@ def main(argv=None) -> int:
         if phist is not None:
             phist.update(img, metrics["feat_point"], metrics["feat_px"],
                          metrics["feat_matched"])
-        if args.view_dir and fid % max(args.view_every, 1) == 0:
-            from PIL import Image
-
+        metrics = {k: np.asarray(v).item() for k, v in metrics.items()
+                   if np.asarray(v).ndim == 0}
+        if (args.view_dir or view) and fid % max(args.view_every, 1) == 0:
             from slam_robot_tpu.utils.debug_draw import draw_debug
 
             overlay = draw_debug(ps.map, img)
-            Image.fromarray(overlay).save(
-                os.path.join(args.view_dir, f"frame_{fid:05d}.png")
-            )
-        metrics = {k: np.asarray(v).item() for k, v in metrics.items()
-                   if np.asarray(v).ndim == 0}
+            if args.view_dir:
+                from PIL import Image
+
+                Image.fromarray(overlay).save(
+                    os.path.join(args.view_dir, f"frame_{fid:05d}.png")
+                )
+            if view:
+                view.publish(overlay, {
+                    "frame": fid, "cam": cam,
+                    "matches": metrics["n_matches"],
+                    "keyframe": bool(metrics["is_keyframe"]),
+                    "points": metrics["n_points"],
+                    "err": round(metrics["mean_reproj_err"], 3),
+                })
         dt = time.time() - t0
         n_done += 1
         if not args.quiet:

@@ -194,3 +194,45 @@ def test_stats_histograms():
     assert "enabled_err_hist" in d and len(d["enabled_err_hist"]) == 10
     assert sum(d["enabled_err_hist"]) + sum(d["disabled_err_hist"]) > 0
     assert "frame_dist" in d and len(d["frame_dist"]) == int(s.n_frames) - 1
+
+
+def test_liveview_serves_stream_and_status():
+    """The --serve live view (the reference GUI loop analog,
+    main.cpp:609-638): publish an overlay, then fetch /, /status and one
+    MJPEG frame off /stream over real HTTP."""
+    import http.client
+    import json as _json
+
+    import numpy as np
+
+    from slam_robot_tpu.utils.liveview import LiveView
+
+    view = LiveView(port=0, host="127.0.0.1").start()
+    try:
+        overlay = np.zeros((24, 32, 3), np.uint8)
+        overlay[:, :, 1] = 200
+        view.publish(overlay, {"frame": 7, "matches": 42})
+
+        c = http.client.HTTPConnection("127.0.0.1", view.port, timeout=5)
+        c.request("GET", "/")
+        assert b"slam_robot_tpu" in c.getresponse().read()
+
+        c.request("GET", "/status")
+        status = _json.loads(c.getresponse().read())
+        assert status == {"frame": 7, "matches": 42}
+
+        c.request("GET", "/stream")
+        r = c.getresponse()
+        assert r.getheader("Content-Type").startswith(
+            "multipart/x-mixed-replace")
+        head = r.fp.readline()  # --frame boundary
+        assert b"--frame" in head
+        ctype = r.fp.readline()
+        assert b"image/jpeg" in ctype
+        clen = int(r.fp.readline().split(b":")[1])
+        r.fp.readline()  # blank
+        jpeg = r.fp.read(clen)
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI marker
+        c.close()
+    finally:
+        view.stop()

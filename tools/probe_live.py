@@ -37,11 +37,13 @@ def _sync(x):
 
 
 def copy_state(ps):
+    """Deep copy every array leaf (donation-safe: the old top-level-only
+    copy aliased the nested map/matcher states, so a donated run DELETED
+    the prototype's buffers)."""
+    import jax
     import jax.numpy as jnp
 
-    return type(ps)(*[
-        jnp.array(x) if hasattr(x, "shape") else x for x in ps
-    ])
+    return jax.tree.map(jnp.array, ps)
 
 
 def main():
@@ -103,9 +105,25 @@ def main():
     print(f"warm {time.time()-t0:.0f}s", flush=True)
     live_frames = frames[args.warm:]
 
+    aot = {}
+
+    def get_aot():
+        if "fn" not in aot:
+            ps = copy_state(ps0)
+            t0 = time.time()
+            aot["fn"] = (
+                jax.jit(pipeline._step_lean,
+                        static_argnames=("cfg", "run_slam"),
+                        donate_argnums=(0,))
+                .lower(ps, live_frames[0], cfg=cfg).compile()
+            )
+            print(f"aot lower+compile {time.time()-t0:.1f}s", flush=True)
+        return aot["fn"]
+
     def run(name):
         ps = copy_state(ps0)
         _sync(ps.map.n_obs)
+        extra = {}
         t0 = time.time()
         if name == "eager":
             for img in live_frames:
@@ -120,10 +138,87 @@ def main():
         elif name == "live":
             for img in live_frames:
                 ps, met = pipeline.step_live(ps, img, cfg)
+        elif name == "nosync":
+            # split host dispatch-issue time from device completion: if the
+            # issue loop alone runs at ~final rate, each jit call BLOCKS on
+            # the relay (queue-depth / RPC latency), not on Python overhead
+            stamps = [time.time()]
+            for img in live_frames:
+                ps, met = pipeline.step_live(ps, img, cfg)
+                stamps.append(time.time())
+            extra["issue_ms_per_frame"] = round(
+                (time.time() - t0) / len(live_frames) * 1000, 2)
+            extra["per_dispatch_ms"] = [
+                round((b - a) * 1000, 2)
+                for a, b in zip(stamps[:-1], stamps[1:])
+            ][:12]
+        elif name == "aot":
+            fn = get_aot()
+            t0 = time.time()
+            for img in live_frames:
+                ps, met = fn(ps, img)
+        elif name == "live_slice":
+            # bench.py-style frame feed: index a stacked device array per
+            # frame (one extra tiny dispatch + a device slice each call)
+            imgs = jnp.stack(live_frames)
+            n = imgs.shape[0]
+            t0 = time.time()
+            for i in range(n):
+                ps, met = pipeline.step_live(ps, imgs[i % n], cfg)
+        elif name == "live_fetch":
+            # bench.py-style telemetry: per-frame packed-scalar fetch on
+            # FetchPool threads (claimed fully-overlapped ~24 ms latency)
+            from slam_robot_tpu.utils.fetchpool import FetchPool
+            pool = FetchPool(workers=3)
+            got = []
+            t0 = time.time()
+            for img in live_frames:
+                ps, met = pipeline.step_live(ps, img, cfg)
+                pool.submit(met)
+                got.extend(pool.drain())
+            got.extend(pool.join())
+            pool.close()
+            assert len(got) == len(live_frames)
+        elif name == "live_fetch1":
+            from slam_robot_tpu.utils.fetchpool import FetchPool
+            pool = FetchPool(workers=1)
+            got = []
+            t0 = time.time()
+            for img in live_frames:
+                ps, met = pipeline.step_live(ps, img, cfg)
+                pool.submit(met)
+                got.extend(pool.drain())
+            got.extend(pool.join())
+            pool.close()
+            assert len(got) == len(live_frames)
+        elif name == "bigargs":
+            # chained trivial op over a pytree with the state's leaf count:
+            # isolates per-launch arg-marshalling cost from step compute
+            leaves = jax.tree_util.tree_leaves(ps)
+            print(json.dumps({
+                "variant": "bigargs",
+                "state_leaves": len(leaves),
+                "state_mb": round(sum(
+                    x.size * x.dtype.itemsize for x in leaves) / 1e6, 1),
+            }), flush=True)
+            toy = [jnp.zeros((8,), jnp.float32) for _ in leaves]
+
+            @jax.jit
+            def tickn(xs):
+                return [x + 1.0 for x in xs]
+
+            toy = tickn(toy)
+            _sync(toy[0])
+            t0 = time.time()
+            for _ in range(len(live_frames)):
+                toy = tickn(toy)
+            _sync(toy[0])
         else:
             raise SystemExit(f"unknown variant {name}")
         _sync(ps.map.frame_trans)
         ms = (time.time() - t0) / len(live_frames) * 1000
+        if extra:
+            print(json.dumps({"variant": name, **extra}), flush=True)
         return ms
 
     for name in variants:
