@@ -349,7 +349,13 @@ class SlamConfig:
                                        # 1.67 deg early-locked rotation);
                                        # re-solving the early frames once,
                                        # with all later evidence present,
-                                       # repairs both. 0 = off
+                                       # repairs both. HOST-triggered:
+                                       # drivers call pipeline.maybe_polish
+                                       # between frames (it fires once, so
+                                       # compiling it into the step's
+                                       # lax.cond billed every frame ~14%
+                                       # for the cond-boundary copies).
+                                       # 0 = off
     polish_solve: int = 0              # frames freed by the polish
                                        # (0 -> polish_at - 1: everything
                                        # but the frame-0/1 anchor)

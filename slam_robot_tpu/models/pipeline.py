@@ -167,32 +167,6 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
                 )
                 polish_due = polish_due | xslow_due
 
-            # one-time early-trajectory polish (the SolveAllFrames the
-            # reference keeps for exactly this, slam.cpp:447-480): free
-            # every frame except the 0/1 gauge anchor once, with all
-            # evidence so far presented, to repair the scale/heading the
-            # sliding windows locked in before the map had baseline
-            # (PERF.md finding 21)
-            if cfg.polish_at:
-                ns = cfg.polish_solve or (cfg.polish_at - 1)
-                once_due = frame_idx == cfg.polish_at
-
-                def do_polish(m):
-                    m, _res = slam.solve_frames(
-                        m, ns, ns + 2, cfg.ba_range, cfg,
-                        max_iters=cfg.ba_iters_polish,
-                        max_free_points=cfg.ba_free_points_slow,
-                    )
-                    m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
-                    t = lm.clamp_pending(m, cfg.homogeneous_w_min)
-                    m, _ok = lm.clean(m, cfg.error_threshold, cfg)
-                    return m, t
-
-                m, touched = jax.lax.cond(
-                    once_due, do_polish, lambda m: (m, touched), m
-                )
-                polish_due = polish_due | once_due
-
             m = lm.apply_epipolar_constraint(m, cfg)
 
             # ReprojectMap parity (main.cpp:602): epipolar only disabled
@@ -325,6 +299,48 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
 
 
 step = functools.partial(jax.jit, static_argnames=("cfg", "run_slam"))(_step)
+
+
+def _polish(ps: PipelineState, cfg: SlamConfig):
+    """One-time early-trajectory polish (the SolveAllFrames the reference
+    keeps for exactly this, slam.cpp:447-480): free every frame except the
+    0/1 gauge anchor, with all evidence so far presented, to repair the
+    scale/heading the sliding windows locked in before the map had
+    baseline (PERF.md finding 21: drifting per-segment scale + early-
+    locked rotation).
+
+    HOST-triggered: drivers call :func:`polish` between frames when
+    ``frame == cfg.polish_at`` (run_replay, bench.py, tools/profile_scan,
+    tools/parity). It fires once, so compiling it into the per-frame step
+    as a lax.cond would bill every frame for its cond-boundary state
+    copies (measured +14%% scan step on CPU) and bloat the step compile
+    for one execution."""
+    ns = cfg.polish_solve or (cfg.polish_at - 1)
+    rw = cfg.reproject_window or None
+    m, res = slam.solve_frames(
+        ps.map, ns, ns + 2, cfg.ba_range, cfg,
+        max_iters=cfg.ba_iters_polish,
+        max_free_points=cfg.ba_free_points_slow,
+    )
+    m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
+    m, _ok = lm.clean(m, cfg.error_threshold, cfg)
+    m, _ = lm.reproject(m, cfg.cheirality_eps, window=rw)
+    return (
+        ps._replace(map=m, total_ba_iters=ps.total_ba_iters + res.iters),
+        res,
+    )
+
+
+polish = functools.partial(jax.jit, static_argnames=("cfg",))(_polish)
+
+
+def maybe_polish(ps: PipelineState, frame_idx: int, cfg: SlamConfig,
+                 run_slam: bool = True):
+    """Host-loop helper: run the one-time polish when ``frame_idx`` hits
+    ``cfg.polish_at`` (0 = disabled). Returns the (possibly) new state."""
+    if run_slam and cfg.polish_at and frame_idx == cfg.polish_at:
+        ps, _ = polish(ps, cfg)
+    return ps
 
 # the LIVE per-frame variant (a robot feeds frames one at a time,
 # main.cpp:503-645): donating the state lets XLA reuse the ~70 MB of

@@ -26,11 +26,13 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     """The live robot loop (main.cpp:503-645 cadence): pipeline.step_live
     donates the ~70 MB state in place and returns ONE packed f32[8] of
     scalars per frame. Each fetch through the axon relay is a synchronous
-    ~24 ms round trip while dispatches are ~0.4 ms and concurrent fetches
-    overlap (tools/probe_fetch.py), so the scalars are fetched on a
-    FetchPool thread: the loop dispatches at device rate and the frame
-    line prints ~one relay latency late — the price of keeping the device
-    busy. The slow-BA-failure stop likewise lands a frame or two late."""
+    ~24 ms round trip, and even pool-threaded per-frame fetches steal
+    ~0.9 ms/frame from the launch path (tools/probe_live.py), so scalars
+    are stacked on-device and fetched once per 4 frames (BatchedFetchPool):
+    the loop dispatches at device rate and the frame lines print up to ~4
+    frames + one relay latency late. The slow-BA-failure stop lands the
+    same few frames late — bounded, and the price of device-rate
+    dispatch."""
     import json as _json
 
     import jax.numpy as jnp
@@ -38,12 +40,12 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     from slam_robot_tpu.io import sources
     from slam_robot_tpu.models import pipeline
     from slam_robot_tpu.utils import dump as dump_util
-    from slam_robot_tpu.utils.fetchpool import FetchPool
+    from slam_robot_tpu.utils.fetchpool import BatchedFetchPool
 
     t_start = time.time()
     n_done = 0
     stop = False
-    pool = FetchPool(workers=3)
+    pool = BatchedFetchPool(k=4, workers=2)
     last_t0 = None
     last_status = {}
 
@@ -75,6 +77,7 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
         if rec is not None:
             rec.save(fid, img)
         ps, out = pipeline.step_live(ps, jnp.asarray(img), cfg, run_slam)
+        ps = pipeline.maybe_polish(ps, fid, cfg, run_slam)
         n_done += 1
         dt = 0.0 if last_t0 is None else t0 - last_t0
         last_t0 = t0
@@ -251,6 +254,7 @@ def main(argv=None) -> int:
             err_chk.throw()
         else:
             ps, metrics = pipeline.step(ps, jnp.asarray(img), cfg, run_slam)
+        ps = pipeline.maybe_polish(ps, fid, cfg, run_slam)
         if phist is not None:
             phist.update(img, metrics["feat_point"], metrics["feat_px"],
                          metrics["feat_matched"])

@@ -236,3 +236,24 @@ def test_liveview_serves_stream_and_status():
         c.close()
     finally:
         view.stop()
+
+
+def test_batched_fetchpool_orders_and_flushes():
+    """BatchedFetchPool: per-frame telemetry stacked k-at-a-time on device,
+    fetched as one round trip, delivered per-frame in submission order,
+    with the partial tail flushed on join."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_robot_tpu.utils.fetchpool import BatchedFetchPool
+
+    pool = BatchedFetchPool(k=4, workers=2)
+    n = 10  # 2 full batches + a partial tail of 2
+    for i in range(n):
+        pool.submit(jnp.full((8,), float(i)), meta=i)
+    got = pool.join()
+    pool.close()
+    assert [m for m, _ in got] == list(range(n))
+    for i, (_, row) in enumerate(got):
+        assert np.asarray(row).shape == (8,)
+        assert float(np.asarray(row)[0]) == float(i)

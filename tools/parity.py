@@ -141,6 +141,7 @@ def run_sequence(name: str = "forward_yaw"):
     ps = pipeline.init(cfg, [jnp.asarray(src.k)] * 2)
     for i in range(spec["seq"]["n_frames"]):
         ps, _ = pipeline.step(ps, jnp.asarray(src.get(i % 2, i)), cfg)
+        ps = pipeline.maybe_polish(ps, i, cfg)
     est = dump_util.trajectory(ps.map)
     true = np.asarray(src.true_trans[: spec["seq"]["n_frames"]])
     return est, true

@@ -45,6 +45,7 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
     t0 = time.time()
     for i in range(n_warm):
         ps, _ = pipeline.step(ps, frames[i], cfg, run_slam=run_slam)
+        ps = pipeline.maybe_polish(ps, i, cfg, run_slam)
     _sync(ps.map.frame_trans)
     warm_s = time.time() - t0
 
@@ -105,6 +106,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="default,backoff2,backoff4,noslam")
     ap.add_argument("--platform", default="")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="bench-scene world seed: same trajectory, fresh "
+                         "landmark texture — an independent cadence draw "
+                         "for ATE A/Bs (keyframe cadence is chaotically "
+                         "sensitive; single-draw deltas conflate the "
+                         "intervention with the draw)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="timed scan repetitions (1 for ATE-only A/Bs)")
     args = ap.parse_args()
 
     import jax
@@ -119,8 +128,8 @@ def main():
 
     base = SlamConfig()
     n_warm, n_timed = 96, 64
-    frames = benchscene.make_frames(base, n_warm + n_timed)
-    print(f"device: {jax.devices()[0]}", flush=True)
+    frames = benchscene.make_frames(base, n_warm + n_timed, seed=args.seed)
+    print(f"device: {jax.devices()[0]} seed: {args.seed}", flush=True)
 
     for name in args.variants.split(","):
         if name == "default":
