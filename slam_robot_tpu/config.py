@@ -325,6 +325,14 @@ class SlamConfig:
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
+    lm_policy: str = "classic"         # "classic" fixed up/down factors |
+                                       # "marquardt" Ceres's gain-ratio
+                                       # damping (what the reference's
+                                       # Ceres solve actually runs,
+                                       # slam.cpp:482-521): the fixed
+                                       # policy thrashes on the bench fast
+                                       # window (~15 of 20 LM iterations
+                                       # are rejected steps, trace r4)
     cheirality_eps: float = 0.001      # project.h:27
     window_obs: int = 3072             # obs-table tail slice for window BA
                                        # (20 presented frames x <=120 obs

@@ -705,11 +705,22 @@ def track(
             # round-2 ATE delta rode this sampling path. Plane-extracting
             # refpack keeps cache on/off bit-identical end to end.
             wins, orgs = tracker_fused.get_window_stacks(new_pyr, kpts)
+            # refpack support re-read from the windows just gathered at
+            # these same kpts: EXACT one-hot selection matmuls + extract's
+            # own elementwise bilinear — BIT-IDENTICAL to plane extraction
+            # (pinned in tests/test_tracker_fused.py), unlike the round-2
+            # banded-interpolation sampling whose ~1e-5 forked the
+            # keyframe cadence (PERF.md finding 15). Kills the largest
+            # round-4 trace op (627 us/frame of per-lane plane slices).
+            stacks = tracker_fused.get_patch_stacks_from_windows(
+                new_pyr, kpts, wins, orgs, cfg.patch_size
+            )
         else:
             wins = jnp.zeros((kneed, L, tracker_fused.WIN,
                               tracker_fused.WIN), jnp.float32)
             orgs = jnp.zeros((kneed, L, 2), jnp.float32)
-        stacks = tracker_fused.get_patch_stacks(new_pyr, kpts, cfg.patch_size)
+            stacks = tracker_fused.get_patch_stacks(new_pyr, kpts,
+                                                    cfg.patch_size)
         packed = tracker_fused.pack_stacks(stacks)
 
         n_added = jnp.sum(assign.astype(jnp.int32))

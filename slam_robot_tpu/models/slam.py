@@ -40,6 +40,7 @@ def _ba_cfg(cfg: SlamConfig, range_: float, solve_cameras: bool = False,
         lm_lambda_init=cfg.lm_lambda_init,
         lm_lambda_up=cfg.lm_lambda_up,
         lm_lambda_down=cfg.lm_lambda_down,
+        lm_policy=cfg.lm_policy,
         max_free_frames=16,
         cheirality_eps=cfg.cheirality_eps,
         solve_cameras=solve_cameras,
@@ -109,13 +110,27 @@ def _run(state: lm.MapState, free, present, present_lo,
         # IRLS weight is 0), so this is semantics-preserving up to fp
         # summation order. Overflow (ok rows beyond the cap) is counted
         # into obs_dropped like the tail slice's (VERDICT r2 item 4).
+        # The four fields ride ONE packed gather (XLA rematerializes the
+        # gathered rows inside the LM while_loop: four separate [512]
+        # gathers billed ~0.67 ms/frame in the r4 trace; int/bool values
+        # round-trip f32 exactly at these magnitudes).
         order = jnp.argsort(~obs_ok)
         keep = order[:compact_obs]
         n_ok = jnp.sum(obs_ok.astype(jnp.int32))
         obs_dropped = obs_dropped + jnp.maximum(n_ok - compact_obs, 0)
-        obs_frame, obs_point, obs_px, obs_ok = (
-            obs_frame[keep], obs_point[keep], obs_px[keep], obs_ok[keep],
-        )
+        packed = jnp.concatenate(
+            [
+                obs_frame.astype(jnp.float32)[:, None],
+                obs_point.astype(jnp.float32)[:, None],
+                obs_px,
+                obs_ok.astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )[keep]
+        obs_frame = packed[:, 0].astype(jnp.int32)
+        obs_point = packed[:, 1].astype(jnp.int32)
+        obs_px = packed[:, 2:4]
+        obs_ok = packed[:, 4] > 0.5
     res = ba.solve(
         state.frame_quat,
         state.frame_trans,

@@ -65,6 +65,19 @@ class BAConfig(NamedTuple):
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
+    lm_policy: str = "classic"    # "classic": fixed up/down factors per
+                                  # reject/accept. "marquardt": Ceres's
+                                  # gain-ratio policy (trust_region.cc /
+                                  # levenberg_marquardt_strategy.cc — what
+                                  # the reference's Ceres solve actually
+                                  # runs, slam.cpp:482-521): on accept
+                                  # lam *= max(1/3, 1-(2*rho-1)^3) with
+                                  # rho = actual/predicted reduction and
+                                  # nu reset to 2; on reject lam *= nu,
+                                  # nu *= 2. The fixed policy thrashes on
+                                  # the bench fast window (trace r4: ~15
+                                  # of 20 iterations are rejected steps —
+                                  # only ~4.75 normal-builds/frame)
     max_free_frames: int = 16     # reduced-system frame slot capacity
     max_free_points: int = 0      # landmark slot capacity for the per-LM-
                                   # iteration assembly tensors (Cp, bp, A,
@@ -516,6 +529,28 @@ def solve(
         if cfg.solve_cameras:
             Atd = Atd + jnp.einsum("pcia,ci->pa", Ak, dk, precision=_HI)
         dp = jnp.einsum("pab,pb->pa", Cinv, bp - Atd, precision=_HI)
+
+        # predicted model reduction for the gain ratio (Marquardt policy):
+        # with (H + lam*D) d = b (b = -g), m(0)-m(d) = (d.b + lam d.D d)/2;
+        # D is the scaled-Marquardt diagonal used above (the +1e-8
+        # Tikhonov is negligible at this scale)
+        d_dot_b = (
+            jnp.sum(df * bf)
+            + jnp.sum(dp * bp)
+            + (jnp.sum(dk * bk) if cfg.solve_cameras else 0.0)
+        )
+        scale_f = jnp.maximum(jnp.einsum("fii->f", Hff) / 6.0, 1e-6)
+        scale_p = jnp.maximum(jnp.einsum("pii->p", Cp) / 4.0, 1e-6)
+        d_dot_Dd = (
+            jnp.sum(scale_f * jnp.sum(df * df, axis=-1))
+            + jnp.sum(scale_p * jnp.sum(dp * dp, axis=-1))
+        )
+        if cfg.solve_cameras:
+            scale_k = jnp.maximum(jnp.einsum("cii->c", Hkk) / 7.0, 1e-6)
+            d_dot_Dd = d_dot_Dd + jnp.sum(
+                scale_k * jnp.sum(dk * dk, axis=-1))
+        pred_red = 0.5 * (d_dot_b + lam * d_dot_Dd)
+
         if merge_p is not None:
             dp = jnp.matmul(merge_p, dp, precision=_HI)  # [P,4]
         dp = jnp.where(free_p[:, None], dp, 0.0)
@@ -524,7 +559,7 @@ def solve(
         upd = (free_f & (slot_of < W))[:, None]
         dxi = jnp.where(upd, df[slot_of.clip(0, W - 1), :3], 0.0)
         dt = jnp.where(upd, df[slot_of.clip(0, W - 1), 3:], 0.0)
-        return dxi, dt, dk, dp
+        return dxi, dt, dk, dp, pred_red
 
     def apply(fq, ft, ks, locs, dxi, dt, dk, dp):
         nq = jax.vmap(quat.retract)(fq, dxi)
@@ -540,7 +575,7 @@ def solve(
     # reuse the blocks and pay only the damped solve — bit-identical
     # results, since the state they describe did not change.
     def lm_body(carry):
-        (fq, ft, ks, locs, lam, cost, it, rejects, done, term,
+        (fq, ft, ks, locs, lam, nu, cost, it, rejects, done, term,
          normal, stale) = carry
         normal = lax.cond(
             stale,
@@ -548,7 +583,7 @@ def solve(
             lambda n: n,
             normal,
         )
-        dxi, dt, dk, dp = solve_damped(normal, lam)
+        dxi, dt, dk, dp, pred_red = solve_damped(normal, lam)
         step_inf = jnp.maximum(
             jnp.max(jnp.abs(dxi)),
             jnp.maximum(jnp.max(jnp.abs(dt)), jnp.max(jnp.abs(dp))),
@@ -563,7 +598,18 @@ def solve(
         ft = jnp.where(accept, ct, ft)
         ks = jnp.where(accept, ck, ks)
         locs = jnp.where(accept, cl, locs)
-        new_lam = jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
+        if cfg.lm_policy == "marquardt":
+            # Ceres's gain-ratio damping (the policy the reference's Ceres
+            # solve runs): large rho (model trusted) slashes lambda, rho
+            # near 1/2 holds it, rejects escalate geometrically via nu
+            rho = (cost - new_cost) / jnp.maximum(pred_red, 1e-20)
+            shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            new_lam = jnp.where(accept, lam * shrink, lam * nu)
+            new_nu = jnp.where(accept, jnp.float32(2.0), nu * 2.0)
+        else:
+            new_lam = jnp.where(
+                accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
+            new_nu = nu
         new_lam = jnp.clip(new_lam, 1e-10, 1e8)
         converged = accept & (
             (cost - new_cost) <= cfg.ftol * jnp.maximum(cost, 1e-20)
@@ -584,11 +630,11 @@ def solve(
                           jnp.where(stalled, TERM_STALL, TERM_MAX_ITERS)),
             ),
         ).astype(jnp.int32)
-        return (fq, ft, ks, locs, new_lam, cost, it + 1, rejects,
+        return (fq, ft, ks, locs, new_lam, new_nu, cost, it + 1, rejects,
                 done | converged | stalled | tiny, term, normal, accept)
 
     def lm_cond(carry):
-        it, done = carry[6], carry[8]
+        it, done = carry[7], carry[9]
         return (it < cfg.max_iters) & ~done
 
     cost0 = total_cost(frame_quat, frame_trans, cam_k, point_loc)
@@ -605,6 +651,7 @@ def solve(
         cam_k,
         point_loc,
         jnp.float32(cfg.lm_lambda_init),
+        jnp.float32(2.0),  # nu: marquardt reject escalation factor
         cost0,
         jnp.int32(0),
         jnp.int32(0),
@@ -613,7 +660,7 @@ def solve(
         normal0,
         jnp.bool_(True),  # first iteration must build the blocks
     )
-    fq, ft, ks, locs, _, cost, iters, _, _, term, _, _ = lax.while_loop(
+    fq, ft, ks, locs, _, _, cost, iters, _, _, term, _, _ = lax.while_loop(
         lm_cond, lm_body, init
     )
 

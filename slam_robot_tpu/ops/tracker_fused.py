@@ -374,6 +374,101 @@ def get_patch_stacks(pyr: FlatPyramid, pts, size: int = 13) -> patch_ops.Patch:
     return jax.vmap(lambda p: tracker_ref.get_patch_stack(pyr, p, size))(pts)
 
 
+def get_patch_stacks_from_windows(pyr: FlatPyramid, pts, wins, orgs,
+                                  size: int = 13) -> patch_ops.Patch:
+    """BIT-IDENTICAL get_patch_stacks, reading pixel support from the
+    per-lane window cache (get_window_stacks at the SAME ``pts``) instead
+    of per-(lane, level) plane slices.
+
+    The keyframe branch's refpack extraction was the single largest op in
+    the round-4 device trace (627 us/frame at a 27-keyframe/64 cadence:
+    K*L latency-bound ~1.3 us dynamic-slices, PERF.md finding 3). The
+    support windows were ALREADY gathered for the backward-window cache,
+    so this re-reads them with exact 0/1 one-hot row/column selection
+    matmuls — each output element is 1.0*pixel plus exact zeros, so
+    unlike the banded bilinear-interpolation matmuls (which match plane
+    extraction only to ~1e-5 and forked the keyframe cadence, PERF.md
+    finding 15) the support copy is EXACT — followed by ops/patch.extract's
+    own elementwise bilinear mix. tests/test_tracker_fused.py pins
+    bit-identity against get_patch_stacks.
+
+    Support containment: extract's clamped support start lies within the
+    clamped window for every pt (support clamp [0, wp-(S+1)] vs window
+    clamp [0, wp-WIN] around the same floor(pt): the offset is 6 + both
+    clamps saturate toward the same edges, keeping it in [0, WIN-(S+1)]).
+    """
+    dims = _static_dims(pyr)
+    L = pyr.depth
+    K = pts.shape[0]
+    S = size
+    half = (S - 1) // 2
+    sel_dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    datas, valids, means, sumsqs = [], [], [], []
+    for i in range(L):
+        h, w = dims[i]
+        wh, ww = min(WIN, h + 2 * PAD), min(WIN, w + 2 * PAD)
+        win = wins[:, i, :wh, :ww]
+        org = orgs[:, i]
+        p = jnp.clip(jnp.nan_to_num(pts / (2.0 ** i)), -1e6, 1e6)
+        x, y = p[:, 0], p[:, 1]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0.astype(jnp.float32))[:, None, None]
+        fy = (y - y0.astype(jnp.float32))[:, None, None]
+
+        # extract's support start in PADDED plane coords, then
+        # window-local (org is the window start in unpadded coords)
+        sy = jnp.clip(y0 - half + PAD, 0, h + 2 * PAD - (S + 1))
+        sx = jnp.clip(x0 - half + PAD, 0, w + 2 * PAD - (S + 1))
+        ry = sy - (org[:, 1].astype(jnp.int32) + PAD)
+        rx = sx - (org[:, 0].astype(jnp.int32) + PAD)
+
+        # exact one-hot selection of the (S+1)^2 support
+        ii = jax.lax.broadcasted_iota(jnp.int32, (K, S + 1, wh), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (K, S + 1, wh), 2)
+        rsel = (jj == ii + ry[:, None, None]).astype(jnp.float32)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (K, ww, S + 1), 2)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (K, ww, S + 1), 1)
+        csel = (jj == ii + rx[:, None, None]).astype(jnp.float32)
+        sup = sel_dot(sel_dot(rsel, win), csel)    # [K, S+1, S+1]
+
+        # ops/patch.extract's elementwise bilinear mix, verbatim
+        d = (
+            (1 - fy) * (1 - fx) * sup[:, :S, :S]
+            + (1 - fy) * fx * sup[:, :S, 1:]
+            + fy * (1 - fx) * sup[:, 1:, :S]
+            + fy * fx * sup[:, 1:, 1:]
+        )
+
+        wf = jnp.float32(w)
+        hf = jnp.float32(h)
+        gi = jnp.arange(S, dtype=jnp.float32)
+        gx = x0.astype(jnp.float32)[:, None] + gi - half
+        gy = y0.astype(jnp.float32)[:, None] + gi - half
+        vx = (gx >= 0) & (gx + 1 <= wf)
+        vy = (gy >= 0) & (gy + 1 <= hf)
+        valid = vy[:, :, None] & vx[:, None, :]
+
+        n = S * S
+        datas.append(d)
+        valids.append(valid)
+        # axis=(1,2) reduces match vmapped extract's jnp.sum(p) lowering
+        # (a different reduction tree would break bit-identity)
+        means.append(jnp.sum(d, axis=(1, 2)) / n)
+        sumsqs.append(jnp.sum(d * d, axis=(1, 2)) / n)
+
+    return patch_ops.Patch(
+        data=jnp.stack(datas, 1),
+        valid=jnp.stack(valids, 1),
+        mean=jnp.stack(means, 1),
+        sumsq=jnp.stack(sumsqs, 1),
+    )
+
+
 def get_window_stacks(pyr: FlatPyramid, pts):
     """Per-lane per-level search windows around ``pts`` (level-0 coords),
     zero-padded to [K, L, WIN, WIN], with origins [K, L, 2].

@@ -327,3 +327,23 @@ def test_cg_padded_layout_matches_scatter():
     r_ovf = ba_cg.solve(*args, base._replace(
         layout="padded", pad_obs_per_point=1, pad_spill=16))
     assert not bool(r_ovf.ok)
+
+
+def test_marquardt_policy_converges():
+    """The Ceres gain-ratio damping policy (lm_policy="marquardt",
+    slam.cpp:482-521's actual Ceres behavior) must solve the same windows
+    to the same quality as the classic fixed-factor policy — typically in
+    fewer iterations (the classic policy's reject thrash was ~15 of 20
+    iterations on the bench fast window, trace r4)."""
+    import dataclasses
+
+    scene = synthetic.build_scene(CFG, n_frames=6, n_points=30,
+                                  pose_noise=0.01, point_noise=50.0)
+    cfg_m = dataclasses.replace(CFG, lm_policy="marquardt")
+    s1, r1 = slam.solve_frames(scene.state, 4, 6, 2.0, CFG)
+    s2, r2 = slam.solve_frames(scene.state, 4, 6, 2.0, cfg_m)
+    assert bool(r1.ok) and bool(r2.ok)
+    e1, e2 = reproj_err(s1), reproj_err(s2)
+    assert e2 < max(0.1, 1.5 * e1), (e1, e2)
+    # both fully converge on this well-conditioned problem
+    assert e2 < 0.1

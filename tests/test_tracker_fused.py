@@ -217,3 +217,28 @@ def test_bwd_ref_from_window_matches_extraction():
     np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
     np.testing.assert_allclose(np.asarray(to_a), np.asarray(to_b),
                                atol=1e-4)
+
+
+def test_patch_stacks_from_windows_bit_identical():
+    """Keyframe refpack via window re-reads must be BIT-identical to plane
+    extraction (matcher.py keyframe branch relies on it: any fp-level
+    difference in reference patches forks the keyframe cadence chaotically,
+    PERF.md finding 15)."""
+    import numpy as np
+
+    from slam_robot_tpu.ops import pyramid as pyr_mod
+    from slam_robot_tpu.ops import tracker_fused
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (120, 160)).astype(np.float32))
+    pyr = pyr_mod.build_pyramid(img, depth=4)
+    K = 48
+    pts = jnp.asarray(np.stack(
+        [rng.uniform(-5, 165, K), rng.uniform(-5, 125, K)], -1
+    ).astype(np.float32))
+    wins, orgs = tracker_fused.get_window_stacks(pyr, pts)
+    a = tracker_fused.get_patch_stacks(pyr, pts, 13)
+    b = tracker_fused.get_patch_stacks_from_windows(pyr, pts, wins, orgs, 13)
+    for f in ("data", "valid", "mean", "sumsq"):
+        av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert np.array_equal(av, bv), f"{f} differs"

@@ -144,7 +144,21 @@ def run_sequence(name: str = "forward_yaw"):
         ps = pipeline.maybe_polish(ps, i, cfg)
     est = dump_util.trajectory(ps.map)
     true = np.asarray(src.true_trans[: spec["seq"]["n_frames"]])
-    return est, true
+
+    # match-quality stat alongside the trajectory: a run can stay inside
+    # the ATE gate while its matches degrade (VERDICT r3 item 7) — the
+    # enabled-obs median reprojection error catches that axis
+    m = ps.map
+    no = int(m.n_obs)
+    errn = np.linalg.norm(np.asarray(m.obs_err[:no]), axis=1)
+    dis = np.asarray(m.obs_disabled[:no])
+    stats = {
+        "median_enabled_err_px": (
+            round(float(np.median(errn[~dis])), 4) if (~dis).any() else 0.0),
+        "n_obs": no,
+        "n_points": int(m.n_points),
+    }
+    return est, true, stats
 
 
 def gate_mm(path_mm: float) -> float:
@@ -152,7 +166,7 @@ def gate_mm(path_mm: float) -> float:
     return max(1.5, 0.01 * path_mm)
 
 
-def compare(name: str, est, true):
+def compare(name: str, est, true, stats=None):
     import numpy as np
 
     from slam_robot_tpu.utils import dump as dump_util
@@ -167,7 +181,7 @@ def compare(name: str, est, true):
     ate_true = dump_util.ate(est, true)
     path = float(np.linalg.norm(true[-1] - true[0]))
     g = gate_mm(path)
-    return {
+    rep = {
         "sequence": name,
         "ate_vs_golden_mm": round(ate_golden, 3),
         "ate_vs_ground_truth_mm": round(ate_true, 3),
@@ -175,8 +189,20 @@ def compare(name: str, est, true):
         "path_mm": round(path, 1),
         "gate_mm": round(g, 2),
         "truth_gate_pct": spec.get("truth_pct", 1.0),
+        "golden_commit": golden.get("commit", "unrecorded"),
         "ok": bool(ate_golden <= g),
     }
+    # match-quality gate: median enabled reprojection error must not
+    # degrade past the fixture's recorded value + 0.1 px (a trajectory
+    # can sit inside the ATE gate while its matches rot)
+    gm = golden.get("median_enabled_err_px")
+    if stats is not None and gm is not None:
+        rep["median_enabled_err_px"] = stats["median_enabled_err_px"]
+        rep["golden_median_px"] = gm
+        rep["median_ok"] = bool(
+            stats["median_enabled_err_px"] <= gm + 0.1)
+        rep["ok"] = rep["ok"] and rep["median_ok"]
+    return rep
 
 
 def main(argv=None) -> int:
@@ -193,25 +219,53 @@ def main(argv=None) -> int:
     names = args.seq.split(",") if args.seq else list(SEQUENCES)
     reports = []
     for name in names:
-        est, true = run_sequence(name)
+        est, true, stats = run_sequence(name)
         if args.regen:
+            import subprocess
+
+            from slam_robot_tpu.utils import dump as dump_util
+
             spec = SEQUENCES[name]
+            p = float(np.linalg.norm(true[-1] - true[0]))
+            truth_ate = dump_util.ate(est, true)
+            truth_pct = 100.0 * truth_ate / p
+            # de-circularization (VERDICT r3 item 7): a fixture generated
+            # by the very build it will gate proves nothing about that
+            # build — refuse to mint one from a run that fails its own
+            # truth gate, so every committed golden is evidence the
+            # generating build met the bar
+            bar = spec.get("truth_pct", 1.0)
+            if truth_pct > bar:
+                print(f"REFUSED {name}: ATE vs truth {truth_ate:.2f} mm = "
+                      f"{truth_pct:.2f}% of path > {bar}% gate — fix "
+                      f"accuracy before regenerating this fixture",
+                      flush=True)
+                continue
+            try:
+                commit = subprocess.run(
+                    ["git", "rev-parse", "HEAD"], capture_output=True,
+                    text=True, cwd=os.path.dirname(__file__),
+                ).stdout.strip()
+            except Exception:  # noqa: BLE001
+                commit = "unknown"
             path = os.path.join(FIXTURES, spec["golden"])
             os.makedirs(FIXTURES, exist_ok=True)
             with open(path, "w") as f:
                 json.dump(
                     {"sequence": spec["seq"], "config": spec["cfg"],
+                     "commit": commit,
+                     "ate_vs_truth_mm": round(truth_ate, 3),
+                     "median_enabled_err_px":
+                         stats["median_enabled_err_px"],
                      "trajectory": est.tolist()}, f, indent=1,
                 )
-            p = float(np.linalg.norm(true[-1] - true[0]))
-            from slam_robot_tpu.utils import dump as dump_util
-
             print(f"golden written: {path} ({len(est)} poses, "
-                  f"path {p:.0f} mm, "
-                  f"ATE vs truth {dump_util.ate(est, true):.2f} mm)",
+                  f"path {p:.0f} mm, ATE vs truth {truth_ate:.2f} mm = "
+                  f"{truth_pct:.2f}%, median "
+                  f"{stats['median_enabled_err_px']:.3f} px, @{commit[:9]})",
                   flush=True)
             continue
-        rep = compare(name, est, true)
+        rep = compare(name, est, true, stats)
         reports.append(rep)
         print(json.dumps(rep), flush=True)
 
