@@ -40,6 +40,7 @@ def _ba_cfg(cfg: SlamConfig, range_: float, solve_cameras: bool = False,
         lm_lambda_init=cfg.lm_lambda_init,
         lm_lambda_up=cfg.lm_lambda_up,
         lm_lambda_down=cfg.lm_lambda_down,
+        lm_lambda_min=cfg.lm_lambda_min,
         lm_policy=cfg.lm_policy,
         max_free_frames=16,
         cheirality_eps=cfg.cheirality_eps,

@@ -65,6 +65,13 @@ class BAConfig(NamedTuple):
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
+    lm_lambda_min: float = 1e-10  # lambda floor. Gain-ratio damping can
+                                  # shrink lambda toward zero (near-pure
+                                  # Gauss-Newton); in low-parallax
+                                  # rotation-dominant regimes those
+                                  # confident steps move the weakly-
+                                  # observable scale/depth directions
+                                  # freely — a floor keeps them damped
     lm_policy: str = "classic"    # "classic": fixed up/down factors per
                                   # reject/accept. "marquardt": Ceres's
                                   # gain-ratio policy (trust_region.cc /
@@ -610,7 +617,7 @@ def solve(
             new_lam = jnp.where(
                 accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
             new_nu = nu
-        new_lam = jnp.clip(new_lam, 1e-10, 1e8)
+        new_lam = jnp.clip(new_lam, cfg.lm_lambda_min, 1e8)
         converged = accept & (
             (cost - new_cost) <= cfg.ftol * jnp.maximum(cost, 1e-20)
         )

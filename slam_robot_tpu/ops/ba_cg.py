@@ -113,7 +113,7 @@ class CGConfig(NamedTuple):
     cheirality_eps: float = 0.001
     precond: str = "block"        # "block" (6x6 inverses) | "diag" (for
                                   # 10k-frame systems where batched LU hurts)
-    layout: str = "scatter"       # "scatter": segment sums as .at[].add
+    layout: str = "padded"        # "scatter": segment sums as .at[].add
                                   # over the obs table (O(1M)-row
                                   # scatter-adds, ~45 of them per GN
                                   # iteration incl. the CG matvecs) |
@@ -126,6 +126,10 @@ class CGConfig(NamedTuple):
                                   # gather economics). Rows past K per
                                   # segment spill to a small compacted
                                   # scatter so results stay EXACT.
+                                  # Default by on-chip measurement
+                                  # (tools/profile_cg.py, 10k kf / 500k
+                                  # lm / 1M obs): padded 0.64 GN iters/s
+                                  # vs scatter 0.53 (+21%).
     pad_obs_per_point: int = 8    # K for the point-side padded table
     pad_obs_per_frame: int = 128  # K for the frame-slot-side padded table
     pad_spill: int = 4096         # compacted spill capacity (rows beyond
