@@ -21,8 +21,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the parity suite compiles the full pipeline for
 # several distinct configs (~minutes each on this 1-CPU box); cached
-# executables make repeat CI runs cheap
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# executables make repeat CI runs cheap. Host-keyed: an XLA:CPU AOT entry
+# built on a different host reloads with mismatched machine features —
+# SIGILL risk plus an fp-codegen numerics fork under the golden fixtures
+# (utils/cachedir.py, PERF.md finding 26).
+from slam_robot_tpu.utils.cachedir import jax_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402

@@ -32,7 +32,10 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if not args.no_cache:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        from slam_robot_tpu.utils.cachedir import jax_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir",
+                          jax_cache_dir(args.platform))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
