@@ -146,27 +146,38 @@ def main() -> None:
     # the chip (tools/probe_live.py): launches are async (~0.5 ms issue)
     # so the loop runs at device rate + ~1.1 ms of arg-handle marshalling;
     # per-frame scalar FETCHES cost a further ~0.9 ms/frame even on pool
-    # threads (fetch RPCs contend with launches at the relay), so the
-    # telemetry is stacked on-device and fetched once per 4 frames
-    # (BatchedFetchPool); frames come from the pre-split host list, not a
+    # threads (fetch RPCs contend with launches at the relay), so the jitted
+    # step itself carries a f32[4,8] telemetry ring (step_live_ring) fetched
+    # once per 4 frames — a host-driven device stack of the same scalars
+    # (BatchedFetchPool, removed) measured ~5 ms/frame of jit call overhead
+    # through the relay. Frames come from the pre-split host list, not a
     # per-frame device slice (+0.2 ms). run_replay --live is this loop.
-    from slam_robot_tpu.utils.fetchpool import BatchedFetchPool
+    from slam_robot_tpu.utils.fetchpool import FetchPool
 
     live_frames = frames[n_warm:]
+    ring = jnp.zeros((4, 8), jnp.float32)
     t_lc = time.time()
-    ps_l, out = pipeline.step_live(ps, live_frames[0], cfg)
-    _sync(out)
+    ps_l, ring = pipeline.step_live_ring(ps, ring, live_frames[0], cfg)
+    _sync(ring)
     live_compile_s = time.time() - t_lc
     n_live = n_timed_frames - 1
-    pool = BatchedFetchPool(k=4, workers=2)
+    pool = FetchPool(workers=2)
     fetched = []
     t0 = time.time()
+    group = []
     for i in range(1, 1 + n_live):
-        ps_l, out = pipeline.step_live(ps_l, live_frames[i % n_timed_frames],
-                                       cfg)
-        pool.submit(out, i)
-        fetched.extend(pool.drain())
-    fetched.extend(pool.join())
+        ps_l, ring = pipeline.step_live_ring(
+            ps_l, ring, live_frames[i % n_timed_frames], cfg)
+        group.append(i)
+        if len(group) == 4:
+            pool.submit(ring, group)
+            group = []
+        for metas, rows in pool.drain():
+            fetched.extend(zip(metas, rows[-len(metas):]))
+    if group:
+        pool.submit(ring, group)
+    for metas, rows in pool.join():
+        fetched.extend(zip(metas, rows[-len(metas):]))
     live_ms = (time.time() - t0) / n_live * 1000
     pool.close()
     assert len(fetched) == n_live  # every frame's telemetry arrived

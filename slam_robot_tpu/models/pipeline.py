@@ -377,6 +377,28 @@ step_live = functools.partial(
 )(_step_lean)
 
 
+def _step_lean_ring(ps: PipelineState, ring, img, cfg: SlamConfig,
+                    run_slam: bool = True):
+    """step_live with DEVICE-side telemetry batching: ``ring`` is a caller-
+    carried f32[k,8] of the last k frames' packed scalars (row -1 = this
+    frame). The robot loop fetches the ring once every k frames — one relay
+    round trip amortized over k — instead of per-frame fetches (~0.9 ms each,
+    RPC contention) or a host-driven device stack (a separate jit dispatch
+    whose call overhead measured ~5 ms/frame through the relay,
+    tools/probe_live.py live_batchfetch). Only the state is donated: the
+    ring is 128 bytes, and leaving it un-donated keeps a submitted-for-fetch
+    ring buffer valid while later steps run (a donated ring could be
+    overwritten under a still-pending pool fetch)."""
+    ps, packed = _step_lean(ps, img, cfg, run_slam)
+    ring = jnp.concatenate([ring[1:], packed[None]], axis=0)
+    return ps, ring
+
+
+step_live_ring = functools.partial(
+    jax.jit, static_argnames=("cfg", "run_slam"), donate_argnums=(0,)
+)(_step_lean_ring)
+
+
 def checked_step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     """Numeric-guard wrapper around :func:`step` — the SURVEY §5 sanitizer
     analog. Pure-functional state already removes the reference's C++ race/

@@ -27,12 +27,14 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     donates the ~70 MB state in place and returns ONE packed f32[8] of
     scalars per frame. Each fetch through the axon relay is a synchronous
     ~24 ms round trip, and even pool-threaded per-frame fetches steal
-    ~0.9 ms/frame from the launch path (tools/probe_live.py), so scalars
-    are stacked on-device and fetched once per 4 frames (BatchedFetchPool):
-    the loop dispatches at device rate and the frame lines print up to ~4
-    frames + one relay latency late. The slow-BA-failure stop lands the
-    same few frames late — bounded, and the price of device-rate
-    dispatch."""
+    ~0.9 ms/frame from the launch path (tools/probe_live.py), so the jitted
+    step itself carries a f32[4,8] telemetry ring (pipeline.step_live_ring)
+    fetched ONCE per 4 frames: the loop dispatches at device rate and the
+    frame lines print up to ~4 frames + one relay latency late. The
+    slow-BA-failure stop lands the same few frames late — bounded, and the
+    price of device-rate dispatch. (A host-driven device stack of the 4
+    scalars — the previous BatchedFetchPool — measured ~5 ms/frame of jit
+    call overhead through the relay and was removed.)"""
     import json as _json
 
     import jax.numpy as jnp
@@ -40,12 +42,14 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     from slam_robot_tpu.io import sources
     from slam_robot_tpu.models import pipeline
     from slam_robot_tpu.utils import dump as dump_util
-    from slam_robot_tpu.utils.fetchpool import BatchedFetchPool
+    from slam_robot_tpu.utils.fetchpool import FetchPool
 
     t_start = time.time()
     n_done = 0
     stop = False
-    pool = BatchedFetchPool(k=4, workers=2)
+    pool = FetchPool(workers=2)
+    ring = jnp.zeros((4, 8), jnp.float32)
+    metas = []
     last_t0 = None
     last_status = {}
 
@@ -76,12 +80,16 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
         t0 = time.time()
         if rec is not None:
             rec.save(fid, img)
-        ps, out = pipeline.step_live(ps, jnp.asarray(img), cfg, run_slam)
+        ps, ring = pipeline.step_live_ring(ps, ring, jnp.asarray(img), cfg,
+                                           run_slam)
         ps = pipeline.maybe_polish(ps, fid, cfg, run_slam)
         n_done += 1
         dt = 0.0 if last_t0 is None else t0 - last_t0
         last_t0 = t0
-        pool.submit(out, (fid, cam, dt))
+        metas.append((fid, cam, dt))
+        if len(metas) == 4:
+            pool.submit(ring, metas)
+            metas = []
         if (args.view_dir or view) and fid % max(args.view_every, 1) == 0:
             from slam_robot_tpu.utils.debug_draw import draw_debug
 
@@ -97,10 +105,14 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
                 )
             if view:
                 view.publish(overlay, last_status)
-        for meta, v in pool.drain():
+        for batch_meta, rows in pool.drain():
+            for meta, v in zip(batch_meta, rows[-len(batch_meta):]):
+                report(meta, v)
+    if metas:
+        pool.submit(ring, metas)  # tail group: last len(metas) ring rows
+    for batch_meta, rows in pool.join():
+        for meta, v in zip(batch_meta, rows[-len(batch_meta):]):
             report(meta, v)
-    for meta, v in pool.join():
-        report(meta, v)
     pool.close()
 
     wall = time.time() - t_start

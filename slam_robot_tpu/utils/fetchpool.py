@@ -61,16 +61,16 @@ class FetchPool:
 
 
 class BatchedFetchPool:
-    """FetchPool with device-side telemetry batching: every ``k`` submits
-    are stacked into ONE device array by a tiny jitted dispatch and fetched
-    as one round trip.
+    """DEPRECATED for the axon relay: FetchPool with host-driven device-side
+    batching — every ``k`` submits are stacked into ONE device array by a
+    tiny jitted dispatch and fetched as one round trip.
 
-    Measured on-chip (tools/probe_live.py): per-frame fetches on 3 pool
-    workers still steal ~0.9 ms/frame from the live loop (fetch RPCs
-    contend with launches at the relay even though their 24 ms latencies
-    overlap each other); batching divides that by ``k`` at the price of
-    telemetry arriving up to ``k-1`` frames later (the loop's slow-BA stop
-    check lags the same amount — bounded, documented in --live's help).
+    Measured on-chip (tools/probe_live.py, live_batchfetch): the extra
+    stack-jit CALL through the relay costs ~5 ms/frame — far more than the
+    ~0.9 ms/frame of per-frame pool fetches it was built to remove. Live
+    loops should carry the telemetry ring INSIDE the jitted step instead
+    (pipeline.step_live_ring: zero extra dispatches, one fetch per k
+    frames). Kept for locally-attached backends where a dispatch is ~us.
     """
 
     def __init__(self, k: int = 4, workers: int = 2):

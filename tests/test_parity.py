@@ -18,8 +18,15 @@ from tools import parity
 
 @pytest.mark.parametrize("name", list(parity.SEQUENCES))
 def test_golden_trajectory_parity(name):
-    est, true, stats = parity.run_sequence(name)
-    rep = parity.compare(name, est, true, stats)
+    rep = parity.evaluate(name)
+
+    if "per_seed" in rep:
+        # multi-seed gate (production_defaults): per-seed drift vs golden,
+        # per-seed truth-ATE blowup cap, per-seed match-quality median, and
+        # the MEDIAN truth ATE across draws (single-draw cadence chaos
+        # cannot pass/fail the config by luck — PERF.md findings 32/38)
+        assert rep["ok"], json.dumps(rep, indent=1)
+        return
 
     assert rep.get("median_ok", True), (
         f"{name}: enabled-obs median error "

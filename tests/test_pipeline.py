@@ -212,3 +212,34 @@ def test_step_live_matches_step():
     assert int(p[1]) == int(m["is_keyframe"])
     np.testing.assert_allclose(p[2], float(m["mean_reproj_err"]), rtol=1e-5)
     assert int(p[4]) == int(m["n_points"])
+
+
+def test_step_live_ring_matches_step_live():
+    # the ring variant (device-side telemetry batching, fetched every k
+    # frames) must evolve the same state as step_live and hold the last 4
+    # frames' packed rows in order (row -1 = newest)
+    src = sources.SyntheticSource(CFG, n_frames=6, n_points=400, step_mm=10.0)
+    frames = [jnp.asarray(src.get(i % 2, i)) for i in range(6)]
+
+    ps_a = pipeline.init(CFG, scaled_intrinsics(CFG))
+    packs = []
+    for img in frames:
+        ps_a, out = pipeline.step_live(ps_a, img, CFG)
+        packs.append(np.asarray(out))
+
+    ps_b = pipeline.init(CFG, scaled_intrinsics(CFG))
+    ring = jnp.zeros((4, 8), jnp.float32)
+    rings = []
+    for img in frames:
+        ps_b, ring = pipeline.step_live_ring(ps_b, ring, img, CFG)
+        rings.append(np.asarray(ring))
+
+    np.testing.assert_allclose(
+        np.asarray(ps_b.map.frame_trans), np.asarray(ps_a.map.frame_trans),
+        atol=1e-4,
+    )
+    assert int(ps_b.map.n_points) == int(ps_a.map.n_points)
+    # ring after frame i holds rows for frames i-3..i (zeros pre-history)
+    np.testing.assert_allclose(rings[-1], np.stack(packs[-4:]), rtol=1e-5)
+    np.testing.assert_allclose(rings[1][:2], np.zeros((2, 8)))
+    np.testing.assert_allclose(rings[1][2:], np.stack(packs[:2]), rtol=1e-5)

@@ -87,6 +87,14 @@ def main():
     dis = np.asarray(m.obs_disabled[:no])
     mask = np.asarray(m.obs_mask[:no])
     en = mask & ~dis & valid
+    # are the high-error enabled rows BA inputs at all? obs of points no
+    # longer slam-usable stay "enabled" in the table but are excluded from
+    # every solve (localmap.slam_usable; localmap.cpp:328-356 flags them)
+    from slam_robot_tpu.models.localmap import slam_usable
+
+    pu = np.asarray(slam_usable(m.point_flags) & m.point_mask)
+    op = np.asarray(m.obs_point[:no]).clip(0)
+    en_usable = en & pu[op]
     q = lambda a, p: round(float(np.quantile(a, p)), 3) if a.size else 0.0
     stats = lambda a: {"p50": q(a, 0.5), "p90": q(a, 0.9),
                        "p99": q(a, 0.99), "mean": round(float(a.mean()), 3)}
@@ -104,6 +112,9 @@ def main():
         if (stale & en).any() else [],
         "fresh_enabled_gt3px": int((fresh[en] > 3.0).sum()),
         "stored_enabled_gt3px": int((stored[en] > 3.0).sum()),
+        "n_enabled_usable": int(en_usable.sum()),
+        "fresh_usable": stats(fresh[en_usable]),
+        "fresh_usable_gt3px": int((fresh[en_usable] > 3.0).sum()),
     }))
 
 

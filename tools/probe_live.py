@@ -179,6 +179,44 @@ def main():
             got.extend(pool.join())
             pool.close()
             assert len(got) == len(live_frames)
+        elif name == "live_ring":
+            # the shipped loop: device-side f32[4,8] telemetry ring inside
+            # the jitted step, ONE pool fetch per 4 frames, zero extra
+            # dispatches (bench.py / run_replay --live)
+            from slam_robot_tpu.utils.fetchpool import FetchPool
+            ring = jnp.zeros((4, 8), jnp.float32)
+            pool = FetchPool(workers=2)
+            got = []
+            group = []
+            t0 = time.time()
+            for i, img in enumerate(live_frames):
+                ps, ring = pipeline.step_live_ring(ps, ring, img, cfg)
+                group.append(i)
+                if len(group) == 4:
+                    pool.submit(ring, group)
+                    group = []
+                for metas, rows in pool.drain():
+                    got.extend(zip(metas, rows[-len(metas):]))
+            if group:
+                pool.submit(ring, group)
+            for metas, rows in pool.join():
+                got.extend(zip(metas, rows[-len(metas):]))
+            pool.close()
+            assert len(got) == len(live_frames)
+        elif name == "live_batchfetch":
+            # bench.py's exact telemetry plumbing: stack 4 frames' scalars
+            # on device via a tiny jit, ONE fetch per 4 frames
+            from slam_robot_tpu.utils.fetchpool import BatchedFetchPool
+            pool = BatchedFetchPool(k=4, workers=2)
+            got = []
+            t0 = time.time()
+            for i, img in enumerate(live_frames):
+                ps, met = pipeline.step_live(ps, img, cfg)
+                pool.submit(met, i)
+                got.extend(pool.drain())
+            got.extend(pool.join())
+            pool.close()
+            assert len(got) == len(live_frames)
         elif name == "live_fetch1":
             from slam_robot_tpu.utils.fetchpool import FetchPool
             pool = FetchPool(workers=1)

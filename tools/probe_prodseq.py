@@ -23,6 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="default")
     ap.add_argument("--seq", default="production_defaults")
+    ap.add_argument("--seed", type=int, default=-1,
+                    help="override the sequence's texture-draw seed "
+                         "(finding 32: ATE is draw-dominated — decide "
+                         "config changes on multi-seed medians)")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -46,6 +50,9 @@ def main():
     from tools import parity
 
     spec = parity.SEQUENCES[args.seq]
+    seq_kw = dict(spec["seq"])
+    if args.seed >= 0:
+        seq_kw["seed"] = args.seed
 
     for name in args.variants.split(","):
         kw = dict(spec["cfg"])
@@ -60,13 +67,13 @@ def main():
                 else:
                     kw[k] = ftype(v)
         cfg = SlamConfig(**kw)
-        src = sources.SyntheticSource(cfg, **spec["seq"])
+        src = sources.SyntheticSource(cfg, **seq_kw)
         ps = pipeline.init(cfg, [jnp.asarray(src.k)] * 2)
-        for i in range(spec["seq"]["n_frames"]):
+        for i in range(seq_kw["n_frames"]):
             ps, _ = pipeline.step(ps, jnp.asarray(src.get(i % 2, i)), cfg)
             ps = pipeline.maybe_polish(ps, i, cfg)
         est = dump_util.trajectory(ps.map)
-        true = np.asarray(src.true_trans[: spec["seq"]["n_frames"]])
+        true = np.asarray(src.true_trans[: seq_kw["n_frames"]])
         ate = dump_util.ate(est, true)
         path = float(np.linalg.norm(true[-1] - true[0]))
         m = ps.map
