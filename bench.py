@@ -147,15 +147,15 @@ def main() -> None:
     # so the loop runs at device rate + ~1.1 ms of arg-handle marshalling;
     # per-frame scalar FETCHES cost a further ~0.9 ms/frame even on pool
     # threads (fetch RPCs contend with launches at the relay), so the jitted
-    # step itself carries a f32[4,8] telemetry ring (step_live_ring) fetched
-    # once per 4 frames — a host-driven device stack of the same scalars
+    # step itself carries a f32[8,8] telemetry ring (step_live_ring) fetched
+    # once per 8 frames — a host-driven device stack of the same scalars
     # (BatchedFetchPool, removed) measured ~5 ms/frame of jit call overhead
     # through the relay. Frames come from the pre-split host list, not a
     # per-frame device slice (+0.2 ms). run_replay --live is this loop.
     from slam_robot_tpu.utils.fetchpool import FetchPool
 
     live_frames = frames[n_warm:]
-    ring = jnp.zeros((4, 8), jnp.float32)
+    ring = jnp.zeros((8, 8), jnp.float32)
     t_lc = time.time()
     ps_l, ring = pipeline.step_live_ring(ps, ring, live_frames[0], cfg)
     _sync(ring)
@@ -169,7 +169,7 @@ def main() -> None:
         ps_l, ring = pipeline.step_live_ring(
             ps_l, ring, live_frames[i % n_timed_frames], cfg)
         group.append(i)
-        if len(group) == 4:
+        if len(group) == 8:
             pool.submit(ring, group)
             group = []
         for metas, rows in pool.drain():
@@ -194,6 +194,15 @@ def main() -> None:
     # DESIGN, slam.cpp:523-548) so the headline is self-interpreting: the
     # round-2 8.5 px mean was ~all disabled-row mass over a 0.35 px median
     q = lambda a, p: float(np.quantile(a, p)) if a.size else 0.0
+    # "enabled" alone still counts obs of points the flag machine has
+    # retired from SLAM (BAD_FEATURE/BAD_LOCATION rows stay enabled in the
+    # table but feed no solve); the solver's true input is enabled obs of
+    # slam-USABLE points (probe_errfresh r4: enabled p90 was 15.5 px, all
+    # of it flagged-point mass — the usable rows sat at p90 0.56 px)
+    from slam_robot_tpu.models.localmap import slam_usable
+
+    pu = np.asarray(slam_usable(m2.point_flags) & m2.point_mask)
+    usable = (~dis) & pu[np.asarray(m2.obs_point[:n_obs_final]).clip(0)]
     err_split = {
         "pct_disabled": round(100.0 * float(dis.mean()), 1),
         "mean_enabled_px": round(float(errn[~dis].mean()), 3) if (~dis).any() else 0.0,
@@ -202,6 +211,12 @@ def main() -> None:
             "p50": round(q(errn[~dis], 0.5), 3),
             "p90": round(q(errn[~dis], 0.9), 3),
             "p99": round(q(errn[~dis], 0.99), 3),
+        },
+        "n_enabled_usable": int(usable.sum()),
+        "usable_quantiles_px": {
+            "p50": round(q(errn[usable], 0.5), 3),
+            "p90": round(q(errn[usable], 0.9), 3),
+            "p99": round(q(errn[usable], 0.99), 3),
         },
     }
     nf = int(m2.n_frames)

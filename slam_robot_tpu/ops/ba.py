@@ -38,6 +38,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from slam_robot_tpu.ops import projection as proj
@@ -129,7 +130,9 @@ class BAResult(NamedTuple):
     # window (models/slam._run tail slice). The reference includes EVERY
     # enabled obs of presented frames (slam.cpp:279-299); nonzero here
     # means the window underfits the workload and should be resized.
-    obs_dropped: jnp.ndarray = jnp.int32(0)
+    # (numpy default, NOT jnp.int32(0): a class-level jnp value initializes
+    # the backend at import time — see ops/quaternion.IDENTITY)
+    obs_dropped: jnp.ndarray = np.int32(0)
 
 
 def _cauchy_weight(s, c):

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Padding around every pyramid level. Must cover half a patch (6 for 13x13)
@@ -123,7 +124,10 @@ def blur(img, sigma: float, size: int = 5):
     return _sep_conv(img, gaussian_kernel(sigma, size))
 
 
-_PYRDOWN_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# numpy, NOT jnp: module-level jnp constants initialize the backend at
+# import (tunnel RPC under axon; freezes the CPU virtual-device count
+# before flags are set — see ops/quaternion.IDENTITY)
+_PYRDOWN_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def pyr_down(img):

@@ -15,8 +15,16 @@ broadcast over leading batch axes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-IDENTITY = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# numpy, NOT jnp: a module-level jnp.array initializes the JAX backend at
+# import time — through the axon relay that is a tunnel RPC on every
+# import, and on CPU it freezes the device count BEFORE callers can set
+# --xla_force_host_platform_device_count, forking XLA:CPU codegen (and
+# therefore closed-loop trajectories) on import order. Measured: the
+# production parity sequence read 2.69% vs 4.37% ATE purely on whether
+# utils.dump was imported before run_sequence set the flag.
+IDENTITY = np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 
 def identity(dtype=jnp.float32):

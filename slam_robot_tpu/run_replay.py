@@ -28,9 +28,9 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     scalars per frame. Each fetch through the axon relay is a synchronous
     ~24 ms round trip, and even pool-threaded per-frame fetches steal
     ~0.9 ms/frame from the launch path (tools/probe_live.py), so the jitted
-    step itself carries a f32[4,8] telemetry ring (pipeline.step_live_ring)
-    fetched ONCE per 4 frames: the loop dispatches at device rate and the
-    frame lines print up to ~4 frames + one relay latency late. The
+    step itself carries a f32[8,8] telemetry ring (pipeline.step_live_ring)
+    fetched ONCE per 8 frames: the loop dispatches at device rate and the
+    frame lines print up to ~8 frames + one relay latency late. The
     slow-BA-failure stop lands the same few frames late — bounded, and the
     price of device-rate dispatch. (A host-driven device stack of the 4
     scalars — the previous BatchedFetchPool — measured ~5 ms/frame of jit
@@ -48,7 +48,7 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     n_done = 0
     stop = False
     pool = FetchPool(workers=2)
-    ring = jnp.zeros((4, 8), jnp.float32)
+    ring = jnp.zeros((8, 8), jnp.float32)
     metas = []
     last_t0 = None
     last_status = {}
@@ -87,7 +87,7 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
         dt = 0.0 if last_t0 is None else t0 - last_t0
         last_t0 = t0
         metas.append((fid, cam, dt))
-        if len(metas) == 4:
+        if len(metas) == 8:
             pool.submit(ring, metas)
             metas = []
         if (args.view_dir or view) and fid % max(args.view_every, 1) == 0:

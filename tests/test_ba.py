@@ -93,10 +93,18 @@ def test_confident_points_stay_const_outside_window():
 
 
 def test_solve_all_frames_with_cameras():
+    # Perturb radial distortion k1: the only intrinsic a full-free BA can
+    # genuinely recover. Focal error is a near-perfect scale gauge and a
+    # cx/cy shift is absorbable by a small common rotation of the (all
+    # free) frames — measured: both stay put under either LM policy, and
+    # the reference has the same degeneracies (its gauge-fixing block at
+    # slam.cpp:474-478 is `#if 0`; CameraStabilization's 0.1/0.01-weight
+    # focal/center pulls under CauchyLoss(5) are ~inert at a few px).
+    # k1 warps the image NON-uniformly — unabsorbable by pose — and the
+    # 1000-weight stabilization (slam.cpp:113-115) pulls the same way.
     scene = synthetic.build_scene(CFG, n_frames=8, n_points=40)
     s = scene.state
-    # perturb focal length by 3%
-    k_bad = s.cam_k.at[:, 3].mul(1.03).at[:, 4].mul(1.03)
+    k_bad = s.cam_k.at[:, 0].add(0.08)
     s = s._replace(cam_k=k_bad)
     before = reproj_err(s)
     assert before > 1.0
@@ -104,8 +112,11 @@ def test_solve_all_frames_with_cameras():
     assert bool(res.ok)
     after = reproj_err(s2)
     assert after < 0.5 * before
-    # focal pulled back toward truth
-    assert abs(float(s2.cam_k[0, 3]) - 416.0) < abs(float(k_bad[0, 3]) - 416.0)
+    # distortion pulled back toward truth (0): both the reprojection terms
+    # and the 1000-weight stabilization demand it. Free points absorb part
+    # of the warp (measured ~45% recovery on this scene), so the bar is
+    # "meaningfully pulled", not "fully recovered".
+    assert abs(float(s2.cam_k[0, 0])) < 0.75 * 0.08
 
 
 def test_solve_frame_pose_is_noop():

@@ -180,11 +180,11 @@ def main():
             pool.close()
             assert len(got) == len(live_frames)
         elif name == "live_ring":
-            # the shipped loop: device-side f32[4,8] telemetry ring inside
-            # the jitted step, ONE pool fetch per 4 frames, zero extra
+            # the shipped loop: device-side f32[8,8] telemetry ring inside
+            # the jitted step, ONE pool fetch per 8 frames, zero extra
             # dispatches (bench.py / run_replay --live)
             from slam_robot_tpu.utils.fetchpool import FetchPool
-            ring = jnp.zeros((4, 8), jnp.float32)
+            ring = jnp.zeros((8, 8), jnp.float32)
             pool = FetchPool(workers=2)
             got = []
             group = []
@@ -192,7 +192,7 @@ def main():
             for i, img in enumerate(live_frames):
                 ps, ring = pipeline.step_live_ring(ps, ring, img, cfg)
                 group.append(i)
-                if len(group) == 4:
+                if len(group) == 8:
                     pool.submit(ring, group)
                     group = []
                 for metas, rows in pool.drain():
