@@ -69,10 +69,28 @@ def _gather_windows(pyr: FlatPyramid, level: int, pos, wh: int, ww: int):
         jnp.floor(p[:, 1]).astype(jnp.int32) - MARGIN_PX + PAD, 0, hp - wh
     )
 
-    def one(j1, oy1, ox1):
-        return lax.dynamic_slice(pyr.data, (j1, oy1, ox1), (1, wh, ww))[0]
-
-    win = jax.vmap(one)(j, oy, ox)
+    # Row-gather + exact one-hot column select instead of a vmapped
+    # dynamic_slice. XLA lowers vmapped plane slices to a per-lane
+    # slice/dynamic-update-slice while loop at ~1.3 us per lane per level
+    # — 1.9 ms/frame across the sweeps, the single largest trace family
+    # (r4, bitcast_dynamic-update-slice_fusion.* at matcher.py:300/745).
+    # Row gathers from a FLAT [P*Hp, Wp] table are ~free (PERF.md gather
+    # economics), and the 0/1 one-hot column matmul is EXACT (one nonzero
+    # per output: 1.0*v + 0*finite = v bit-for-bit, the refpack
+    # precedent), so this is a pure relayout of the same copy: the
+    # returned windows are bit-identical and the goldens don't move.
+    P, Hp, Wp = pyr.data.shape
+    flat = pyr.data.reshape(P * Hp, Wp)
+    rows = (j * Hp + oy)[:, None] + jnp.arange(wh, dtype=jnp.int32)[None, :]
+    band = flat[rows]                                      # [F, wh, Wp]
+    cols = ox[:, None] + jnp.arange(ww, dtype=jnp.int32)[None, :]
+    onehot = (cols[:, :, None]
+              == jnp.arange(Wp, dtype=jnp.int32)[None, None, :]
+              ).astype(pyr.data.dtype)                     # [F, ww, Wp]
+    win = lax.dot_general(
+        band, onehot, (((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+    )                                                      # [F, wh, ww]
     org = jnp.stack([ox - PAD, oy - PAD], -1).astype(jnp.float32)
     return win, org
 

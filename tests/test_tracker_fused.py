@@ -242,3 +242,50 @@ def test_patch_stacks_from_windows_bit_identical():
     for f in ("data", "valid", "mean", "sumsq"):
         av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
         assert np.array_equal(av, bv), f"{f} differs"
+
+
+def test_gather_windows_bit_identical_to_dynamic_slice():
+    """_gather_windows' row-gather + one-hot column select is a pure
+    relayout of a vmapped dynamic_slice (the r4 trace's largest op family)
+    — it must return bit-identical windows, or the keyframe cadence forks
+    chaotically (PERF.md finding 15)."""
+    import numpy as np
+
+    from jax import lax
+    from slam_robot_tpu.ops import pyramid as pyr_mod
+    from slam_robot_tpu.ops import tracker_fused as tf
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 1, (120, 160)).astype(np.float32))
+    p = pyr_mod.build_pyramid(img, depth=4)
+    K = 40
+    # include off-image and NaN positions (clamped/zeroed like the matcher)
+    pts = np.stack([rng.uniform(-30, 190, K), rng.uniform(-30, 150, K)],
+                   -1).astype(np.float32)
+    pts[0] = np.nan
+    pts[1] = [1e9, -1e9]
+    pts = jnp.asarray(pts)
+    dims = tf._static_dims(p)
+    for lvl in range(p.depth):
+        h, w = dims[lvl]
+        wh = min(tf.WIN, h + 2 * pyr_mod.PAD)
+        ww = min(tf.WIN, w + 2 * pyr_mod.PAD)
+        win, org = tf._gather_windows(p, lvl, pts / (2.0 ** lvl), wh, ww)
+
+        # reference: the vmapped per-lane dynamic_slice this replaced
+        j = jnp.broadcast_to(jnp.asarray(p.offset + lvl), (K,))
+        pc = jnp.clip(jnp.nan_to_num(pts / (2.0 ** lvl)), -1e6, 1e6)
+        hp, wp = h + 2 * pyr_mod.PAD, w + 2 * pyr_mod.PAD
+        ox = jnp.clip(jnp.floor(pc[:, 0]).astype(jnp.int32)
+                      - tf.MARGIN_PX + pyr_mod.PAD, 0, wp - ww)
+        oy = jnp.clip(jnp.floor(pc[:, 1]).astype(jnp.int32)
+                      - tf.MARGIN_PX + pyr_mod.PAD, 0, hp - wh)
+        ref = jax.vmap(
+            lambda j1, oy1, ox1: lax.dynamic_slice(
+                p.data, (j1, oy1, ox1), (1, wh, ww))[0]
+        )(j, oy, ox)
+        assert np.array_equal(np.asarray(win), np.asarray(ref)), f"lvl {lvl}"
+        np.testing.assert_array_equal(
+            np.asarray(org),
+            np.stack([np.asarray(ox) - pyr_mod.PAD,
+                      np.asarray(oy) - pyr_mod.PAD], -1).astype(np.float32))
