@@ -142,12 +142,13 @@ def main() -> None:
 
     # live robot loop (VERDICT r2 item 3): frames arrive one at a time as
     # on a real robot (main.cpp:503-645). step_live donates the state and
-    # returns ONE packed f32[8] of scalars. Loop-overhead decomposition on
+    # returns ONE packed f32[LIVE_WIDTH] of scalars (pipeline.LIVE_SCALARS:
+    # loop scalars + the safety counters). Loop-overhead decomposition on
     # the chip (tools/probe_live.py): launches are async (~0.5 ms issue)
     # so the loop runs at device rate + ~1.1 ms of arg-handle marshalling;
     # per-frame scalar FETCHES cost a further ~0.9 ms/frame even on pool
     # threads (fetch RPCs contend with launches at the relay), so the jitted
-    # step itself carries a f32[8,8] telemetry ring (step_live_ring) fetched
+    # step itself carries a f32[8,LIVE_WIDTH] telemetry ring (step_live_ring) fetched
     # once per 8 frames — a host-driven device stack of the same scalars
     # (BatchedFetchPool, removed) measured ~5 ms/frame of jit call overhead
     # through the relay. Frames come from the pre-split host list, not a
@@ -155,7 +156,7 @@ def main() -> None:
     from slam_robot_tpu.utils.fetchpool import FetchPool
 
     live_frames = frames[n_warm:]
-    ring = jnp.zeros((8, 8), jnp.float32)
+    ring = jnp.zeros((8, pipeline.LIVE_WIDTH), jnp.float32)
     t_lc = time.time()
     ps_l, ring = pipeline.step_live_ring(ps, ring, live_frames[0], cfg)
     _sync(ring)
@@ -181,6 +182,16 @@ def main() -> None:
     live_ms = (time.time() - t0) / n_live * 1000
     pool.close()
     assert len(fetched) == n_live  # every frame's telemetry arrived
+    # live-segment silent-drop guard (VERDICT r4 item 4): the safety
+    # counters now ride the telemetry ring — assert zero drops over the
+    # whole live segment, like the scan already does
+    ix = pipeline.LIVE_IDX
+    live_drops = int(sum(
+        row[ix["fast_obs_dropped"]] + row[ix["slow_obs_dropped"]]
+        + row[ix["reproject_obs_dropped"]] for _, row in fetched))
+    live_canary_max = float(max(
+        row[ix["normalize_canary_px"]] for _, row in fetched))
+    assert live_drops == 0, f"live segment dropped {live_drops} obs rows"
 
     # honest accuracy stats: the reference-parity mean includes disabled
     # outliers and Cauchy-downweighted stragglers; report the robust
@@ -224,6 +235,30 @@ def main() -> None:
     est_t = np.asarray(m2.frame_trans[:nf])
     ate = float(np.sqrt(((est_t - true_t) ** 2).sum(1)).mean())
     path = float(np.linalg.norm(true_t[-1] - true_t[0]))
+    ate_pct = 100.0 * ate / max(path, 1e-9)
+
+    # multi-seed accuracy: single-draw ATE is cadence-chaotic (PERF.md
+    # findings 32/38 — seed 0 and seed 1 differ ~2x under identical code),
+    # so the headline carries the 3-seed MEDIAN alongside the seed-0
+    # number. Extra seeds reuse the compiled step/scan: each costs one
+    # render + one eager bootstrap + one scan pass, no recompile.
+    seed_pcts = {0: round(ate_pct, 2)}
+    for sd in (1, 2):
+        fr = make_frames(cfg, n_warm + n_timed_frames, seed=sd)
+        ps_s = pipeline.init(cfg)
+        for i in range(n_warm):
+            ps_s, _ = pipeline.step(ps_s, fr[i], cfg)
+            ps_s = pipeline.maybe_polish(ps_s, i, cfg)
+        ps_s2, (_errs_s, drops_s) = run_scan(ps_s, jnp.stack(fr[n_warm:]))
+        m_s = ps_s2.map
+        nf_s = int(m_s.n_frames)
+        true_s = np.stack([sweep_pose(i)[1] for i in range(nf_s)])
+        est_s = np.asarray(m_s.frame_trans[:nf_s])
+        ate_s = float(np.sqrt(((est_s - true_s) ** 2).sum(1)).mean())
+        path_s = float(np.linalg.norm(true_s[-1] - true_s[0]))
+        seed_pcts[sd] = round(100.0 * ate_s / max(path_s, 1e-9), 2)
+        obs_dropped_total += int(np.asarray(drops_s).sum())
+    ate_pct_median3 = float(np.median(list(seed_pcts.values())))
     print(
         json.dumps(
             {
@@ -244,8 +279,12 @@ def main() -> None:
                     "median_enabled_err_px": round(median_err, 3),
                     "err_split": err_split,
                     "ate_mm": round(ate, 1),
-                    "ate_pct_of_path": round(100.0 * ate / max(path, 1e-9), 2),
+                    "ate_pct_of_path": round(ate_pct, 2),
+                    "ate_pct_per_seed": seed_pcts,
+                    "ate_pct_median3": round(ate_pct_median3, 2),
                     "obs_dropped_total": obs_dropped_total,
+                    "live_obs_dropped": live_drops,
+                    "live_canary_max_px": round(live_canary_max, 4),
                     "n_points": int(ps2.map.n_points),
                     "n_obs": int(ps2.map.n_obs),
                     "device": str(jax.devices()[0]),

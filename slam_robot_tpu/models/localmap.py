@@ -86,6 +86,13 @@ class MapState(NamedTuple):
     obs_px: jnp.ndarray       # [O, 2] f32 pixel coordinates
     obs_disabled: jnp.ndarray  # [O] bool
     obs_err: jnp.ndarray      # [O, 2] f32 cached reprojection error
+    obs_err_valid: jnp.ndarray  # [O] bool: True iff obs_err holds a genuine
+                              # reprojection error (written by reproject for
+                              # rows passing the cheirality test); False for
+                              # never-reprojected rows and cheirality-fail
+                              # sentinels. Kills the err==px / err==0 value
+                              # aliasing mean_obs_error / normalize_canary
+                              # used to rely on (VERDICT r4 item 7)
     obs_slot: jnp.ndarray     # [O] int32 ring slot this row occupies in its
                               # point's ring (-1 = never appended); lets the
                               # clean disable sync run ring->flat as ONE
@@ -167,6 +174,7 @@ def empty(cfg: SlamConfig) -> MapState:
         obs_px=jnp.zeros((O, 2), f32),
         obs_disabled=jnp.zeros((O,), bool),
         obs_err=jnp.zeros((O, 2), f32),
+        obs_err_valid=jnp.zeros((O,), bool),
         obs_slot=jnp.full((O,), -1, jnp.int32),
         n_obs=jnp.int32(0),
         point_obs=jnp.full((P, R), -1, jnp.int32),
@@ -272,6 +280,7 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
     obs_px = state.obs_px.at[dest].set(px, mode="drop")
     obs_dis = state.obs_disabled.at[dest].set(False, mode="drop")
     obs_err = state.obs_err.at[dest].set(0.0, mode="drop")
+    obs_err_valid = state.obs_err_valid.at[dest].set(False, mode="drop")
 
     # Publish into per-point rings.
     totals = state.point_obs_total[point_idx.clip(0)]
@@ -291,6 +300,7 @@ def add_observations(state: MapState, frame_idx, point_idx, px, valid) -> MapSta
         obs_px=obs_px,
         obs_disabled=obs_dis,
         obs_err=obs_err,
+        obs_err_valid=obs_err_valid,
         obs_slot=obs_slot,
         n_obs=state.n_obs + jnp.sum(in_cap.astype(jnp.int32)),
         point_obs=point_obs,
@@ -543,6 +553,7 @@ def pop_frame(state: MapState) -> MapState:
         n_obs=jnp.where(has, start, state.n_obs),
         obs_frame=jnp.where(removed, -1, state.obs_frame),
         obs_point=jnp.where(removed, -1, state.obs_point),
+        obs_err_valid=jnp.where(removed, False, state.obs_err_valid),
         point_obs=point_obs,
         point_obs_total=point_obs_total,
     )
@@ -616,9 +627,14 @@ def reproject(state: MapState, cheirality_eps: float = 0.001,
         obs_err = jax.lax.dynamic_update_slice_in_dim(
             state.obs_err, new_err, start, 0
         )
+        new_valid = jnp.where(active, counted, sl(state.obs_err_valid))
+        obs_err_valid = jax.lax.dynamic_update_slice_in_dim(
+            state.obs_err_valid, new_valid, start, 0
+        )
     else:
         obs_err = jnp.where(active[:, None], err, state.obs_err)
-    return state._replace(obs_err=obs_err), mean
+        obs_err_valid = jnp.where(active, counted, state.obs_err_valid)
+    return state._replace(obs_err=obs_err, obs_err_valid=obs_err_valid), mean
 
 
 def mean_obs_error(state: MapState, window: int | None = None) -> jnp.ndarray:
@@ -626,24 +642,24 @@ def mean_obs_error(state: MapState, window: int | None = None) -> jnp.ndarray:
     the last reproject, computed from the STORED error table.
 
     reproject stores err = observed pixel for rows failing the cheirality
-    test and excludes them from its mean (slam.cpp:529-545); such sentinel
-    rows are recognized here by comparing the stored error against the
-    observed pixel (a genuine error equal to its own observation in both
-    f32 components is the same encoding — indistinguishable by design).
-    ``window`` mirrors reproject's tail-window slicing so the averages are
-    drop-in comparable.
+    test and excludes them from its mean (slam.cpp:529-545); such rows are
+    excluded here via the explicit ``obs_err_valid`` bit reproject writes
+    (no value-sentinel comparison — a genuine error exactly equal to its
+    own observation still counts). ``window`` mirrors reproject's
+    tail-window slicing so the averages are drop-in comparable.
     """
     O = state.obs_frame.shape[0]
     if window is not None and window < O:
         start = jnp.maximum(state.n_obs - window, 0)
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, window, 0)
-        obs_err, obs_px, obs_mask = (
-            sl(state.obs_err), sl(state.obs_px), sl(state.obs_mask)
+        obs_err, obs_valid, obs_mask = (
+            sl(state.obs_err), sl(state.obs_err_valid), sl(state.obs_mask)
         )
     else:
-        obs_err, obs_px, obs_mask = state.obs_err, state.obs_px, state.obs_mask
-    sentinel = jnp.all(obs_err == obs_px, axis=-1)
-    counted = obs_mask & ~sentinel
+        obs_err, obs_valid, obs_mask = (
+            state.obs_err, state.obs_err_valid, state.obs_mask
+        )
+    counted = obs_mask & obs_valid
     norms = jnp.linalg.norm(obs_err, axis=-1)
     return jnp.sum(jnp.where(counted, norms, 0.0)) / jnp.maximum(
         jnp.sum(counted.astype(jnp.float32)), 1.0
@@ -661,8 +677,10 @@ def normalize_canary(state: MapState, rows: int = 64,
     This re-projects only the newest ``rows`` obs rows against the CURRENT
     (post-normalize) geometry and returns the max per-row difference (px)
     between the fresh error norm and the stored one. Rows failing the
-    cheirality test, masked rows, and stored-sentinel rows (err == px,
-    see :func:`mean_obs_error`) are excluded.
+    cheirality test, masked rows, and rows without a genuine stored error
+    (``obs_err_valid`` False: never reprojected — e.g. committed on a frame
+    whose BA solve aborted — or cheirality-fail at the last reproject) are
+    excluded via the explicit validity bit; no value-sentinel comparison.
     """
     O = state.obs_frame.shape[0]
     rows = min(rows, O)
@@ -670,6 +688,7 @@ def normalize_canary(state: MapState, rows: int = 64,
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, rows, 0)
     obs_frame, obs_point = sl(state.obs_frame), sl(state.obs_point)
     obs_px, obs_err, obs_mask = sl(state.obs_px), sl(state.obs_err), sl(state.obs_mask)
+    obs_valid = sl(state.obs_err_valid)
 
     f = obs_frame.clip(0)
     p = obs_point.clip(0)
@@ -680,13 +699,7 @@ def normalize_canary(state: MapState, rows: int = 64,
     px, valid = jax.vmap(proj.project_point, in_axes=(0, 0, 0, 0, None))(
         q, t, k, loc, cheirality_eps
     )
-    sentinel = jnp.all(obs_err == obs_px, axis=-1)
-    # rows whose stored error is exactly (0,0) have never been written by
-    # reproject (a genuine fp error of exactly zero in both components is
-    # measure-zero): new observations committed on a frame whose BA solve
-    # aborted carry them until the next reproject — not a normalize fault
-    unwritten = jnp.all(obs_err == 0.0, axis=-1)
-    counted = valid & obs_mask & ~sentinel & ~unwritten
+    counted = valid & obs_mask & obs_valid
     fresh = jnp.linalg.norm(px - obs_px, axis=-1)
     stored = jnp.linalg.norm(obs_err, axis=-1)
     return jnp.max(jnp.where(counted, jnp.abs(fresh - stored), 0.0))

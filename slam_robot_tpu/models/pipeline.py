@@ -351,24 +351,30 @@ step_donated = functools.partial(
 )(_step)
 
 
+# packed live-telemetry layout (one f32 row per frame). Indices 8-11 are
+# the SAFETY counters (VERDICT r4 item 4): the obs-window truncation
+# guards and the normalize-invariance canary the reference CHECKs every
+# frame (main.cpp:602-605) — a live robot run must see them, not just
+# full-metrics replay. Consumers index rows by name via LIVE_IDX.
+LIVE_SCALARS = (
+    "n_matches", "is_keyframe", "mean_reproj_err", "slow_ok",
+    "n_points", "n_added", "fast_iters", "slow_iters",
+    "fast_obs_dropped", "slow_obs_dropped", "reproject_obs_dropped",
+    "normalize_canary_px",
+)
+LIVE_IDX = {k: i for i, k in enumerate(LIVE_SCALARS)}
+LIVE_WIDTH = len(LIVE_SCALARS)
+
+
 def _step_lean(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
     """Live-loop step with a minimal output surface: every output buffer is
     registered through the remote-relay dispatch per call, and every FETCH
     is a relay round trip (~1.6 ms, PERF.md), so the live path returns the
-    state plus ONE packed f32[8] the robot loop polls with a single fetch:
-    [n_matches, is_keyframe, mean_reproj_err, slow_ok, n_points, n_added,
-    fast_iters, slow_iters]."""
+    state plus ONE packed f32[LIVE_WIDTH] the robot loop polls with a
+    single fetch — layout in :data:`LIVE_SCALARS` (loop scalars + the
+    safety counters)."""
     ps, met = _step(ps, img, cfg, run_slam)
-    packed = jnp.stack([
-        met["n_matches"].astype(jnp.float32),
-        met["is_keyframe"].astype(jnp.float32),
-        met["mean_reproj_err"].astype(jnp.float32),
-        met["slow_ok"].astype(jnp.float32),
-        met["n_points"].astype(jnp.float32),
-        met["n_added"].astype(jnp.float32),
-        met["fast_iters"].astype(jnp.float32),
-        met["slow_iters"].astype(jnp.float32),
-    ])
+    packed = jnp.stack([met[k].astype(jnp.float32) for k in LIVE_SCALARS])
     return ps, packed
 
 
@@ -380,15 +386,15 @@ step_live = functools.partial(
 def _step_lean_ring(ps: PipelineState, ring, img, cfg: SlamConfig,
                     run_slam: bool = True):
     """step_live with DEVICE-side telemetry batching: ``ring`` is a caller-
-    carried f32[k,8] of the last k frames' packed scalars (row -1 = this
-    frame). The robot loop fetches the ring once every k frames — one relay
+    carried f32[k,LIVE_WIDTH] of the last k frames' packed scalars (row -1
+    = this frame). The robot loop fetches the ring once every k frames — one relay
     round trip amortized over k — instead of per-frame fetches (~0.9 ms each,
     RPC contention) or a host-driven device stack (a separate jit dispatch
     whose call overhead measured ~5 ms/frame through the relay,
     tools/probe_live.py live_batchfetch). Only the state is donated: the
-    ring is 128 bytes, and leaving it un-donated keeps a submitted-for-fetch
-    ring buffer valid while later steps run (a donated ring could be
-    overwritten under a still-pending pool fetch)."""
+    ring is a few hundred bytes, and leaving it un-donated keeps a
+    submitted-for-fetch ring buffer valid while later steps run (a donated
+    ring could be overwritten under a still-pending pool fetch)."""
     ps, packed = _step_lean(ps, img, cfg, run_slam)
     ring = jnp.concatenate([ring[1:], packed[None]], axis=0)
     return ps, ring

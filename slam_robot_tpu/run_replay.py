@@ -24,17 +24,25 @@ import time
 
 def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     """The live robot loop (main.cpp:503-645 cadence): pipeline.step_live
-    donates the ~70 MB state in place and returns ONE packed f32[8] of
-    scalars per frame. Each fetch through the axon relay is a synchronous
-    ~24 ms round trip, and even pool-threaded per-frame fetches steal
-    ~0.9 ms/frame from the launch path (tools/probe_live.py), so the jitted
-    step itself carries a f32[8,8] telemetry ring (pipeline.step_live_ring)
-    fetched ONCE per 8 frames: the loop dispatches at device rate and the
-    frame lines print up to ~8 frames + one relay latency late. The
-    slow-BA-failure stop lands the same few frames late — bounded, and the
-    price of device-rate dispatch. (A host-driven device stack of the 4
-    scalars — the previous BatchedFetchPool — measured ~5 ms/frame of jit
-    call overhead through the relay and was removed.)"""
+    donates the ~70 MB state in place and returns ONE packed
+    f32[LIVE_WIDTH] of scalars per frame. Each fetch through the axon relay
+    is a synchronous ~24 ms round trip, and even pool-threaded per-frame
+    fetches steal ~0.9 ms/frame from the launch path (tools/probe_live.py),
+    so the jitted step itself carries a f32[8,LIVE_WIDTH] telemetry ring
+    (pipeline.step_live_ring) fetched ONCE per 8 frames: the loop
+    dispatches at device rate and the frame lines print up to ~8 frames +
+    one relay latency late. The slow-BA-failure stop — and the SAFETY
+    guards below — land the same few frames late: bounded, and the price
+    of device-rate dispatch. (A host-driven device stack of the 4 scalars
+    — the previous BatchedFetchPool — measured ~5 ms/frame of jit call
+    overhead through the relay and was removed.)
+
+    Safety guards acted on per frame (VERDICT r4 item 4 — the live path is
+    where a robot needs them, not just full-metrics replay): nonzero
+    fast/slow/reproject_obs_dropped (obs-window truncation: the solver
+    silently lost participating rows) and normalize_canary_px > 0.1 (the
+    reference's every-frame Normalize invariance CHECK, main.cpp:602-605)
+    both stop the loop."""
     import json as _json
 
     import jax.numpy as jnp
@@ -48,29 +56,47 @@ def _live_loop(args, cfg, src, ps, run_slam, rec, view=None) -> int:
     n_done = 0
     stop = False
     pool = FetchPool(workers=2)
-    ring = jnp.zeros((8, 8), jnp.float32)
+    ring = jnp.zeros((8, pipeline.LIVE_WIDTH), jnp.float32)
     metas = []
     last_t0 = None
     last_status = {}
+    ix = pipeline.LIVE_IDX
 
     def report(meta, v):
         nonlocal stop
         fid, cam, dt = meta
-        if run_slam and v[3] < 0.5:
+        if run_slam and v[ix["slow_ok"]] < 0.5:
             print("slow BA window failed; stopping (main.cpp:591-594)")
             stop = True
+        drops = (int(v[ix["fast_obs_dropped"]])
+                 + int(v[ix["slow_obs_dropped"]])
+                 + int(v[ix["reproject_obs_dropped"]]))
+        canary = float(v[ix["normalize_canary_px"]])
+        if run_slam and drops > 0:
+            print(f"frame {fid}: obs-window truncation dropped {drops} "
+                  f"participating rows; stopping (silent-drop guard)")
+            stop = True
+        if run_slam and canary > 0.1:
+            print(f"frame {fid}: normalize invariance canary "
+                  f"{canary:.3f}px > 0.1; stopping (main.cpp:602-605)")
+            stop = True
         last_status.update(
-            frame=fid, cam=cam, matches=int(v[0]), keyframe=bool(v[1] > 0.5),
-            points=int(v[4]), err=round(float(v[2]), 3),
-            ba_iters=f"{int(v[6])}+{int(v[7])}",
+            frame=fid, cam=cam, matches=int(v[ix["n_matches"]]),
+            keyframe=bool(v[ix["is_keyframe"]] > 0.5),
+            points=int(v[ix["n_points"]]),
+            err=round(float(v[ix["mean_reproj_err"]]), 3),
+            ba_iters=f"{int(v[ix['fast_iters']])}+{int(v[ix['slow_iters']])}",
+            obs_dropped=drops, canary_px=round(canary, 4),
         )
         if not args.quiet:
             print(
-                f"frame {fid:4d} cam {cam}: matches {int(v[0]):3d} "
-                f"{'KF' if v[1] > 0.5 else '  '} "
-                f"added {int(v[5]):3d} pts {int(v[4]):4d} "
-                f"err {float(v[2]):6.3f} "
-                f"ba {int(v[6])}+{int(v[7])} "
+                f"frame {fid:4d} cam {cam}: "
+                f"matches {int(v[ix['n_matches']]):3d} "
+                f"{'KF' if v[ix['is_keyframe']] > 0.5 else '  '} "
+                f"added {int(v[ix['n_added']]):3d} "
+                f"pts {int(v[ix['n_points']]):4d} "
+                f"err {float(v[ix['mean_reproj_err']]):6.3f} "
+                f"ba {int(v[ix['fast_iters']])}+{int(v[ix['slow_iters']])} "
                 f"TIMER: {dt:.3f}s"
             )
 
@@ -190,7 +216,13 @@ def main(argv=None) -> int:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # the CPU cache is host-keyed: cross-host XLA:CPU AOT entries reload
+    # with mismatched machine features (SIGILL risk + fp-codegen forks,
+    # PERF.md finding 36); TPU entries are chip-compiled and shared
+    from slam_robot_tpu.utils.cachedir import jax_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir",
+                      jax_cache_dir(args.platform))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
@@ -238,6 +270,15 @@ def main(argv=None) -> int:
         from slam_robot_tpu.utils.liveview import LiveView
 
         view = LiveView(port=args.serve).start()
+        # per-point click inspector (main.cpp:158-267): needs the per-frame
+        # match arrays, which only the full-metrics path fetches — under
+        # --live the view streams overlay+status without it
+        if not args.live:
+            if phist is None:
+                from slam_robot_tpu.utils.patch_history import PatchHistory
+
+                phist = PatchHistory(size=cfg.patch_size)
+            view.patch_history = phist
         print(f"live view: http://0.0.0.0:{view.port}/")
 
     # BA termination-reason short names (ops/ba.TERM_*), the per-solve
@@ -267,9 +308,18 @@ def main(argv=None) -> int:
         else:
             ps, metrics = pipeline.step(ps, jnp.asarray(img), cfg, run_slam)
         ps = pipeline.maybe_polish(ps, fid, cfg, run_slam)
+        live_points = None
         if phist is not None:
             phist.update(img, metrics["feat_point"], metrics["feat_px"],
                          metrics["feat_matched"])
+            if view is not None:
+                ids = np.asarray(metrics["feat_point"])
+                pxs = np.asarray(metrics["feat_px"])
+                sel = np.asarray(metrics["feat_matched"]) & (ids >= 0)
+                live_points = list(zip(
+                    ids[sel].tolist(),
+                    pxs[sel, 0].tolist(), pxs[sel, 1].tolist(),
+                ))
         metrics = {k: np.asarray(v).item() for k, v in metrics.items()
                    if np.asarray(v).ndim == 0}
         if (args.view_dir or view) and fid % max(args.view_every, 1) == 0:
@@ -289,7 +339,7 @@ def main(argv=None) -> int:
                     "keyframe": bool(metrics["is_keyframe"]),
                     "points": metrics["n_points"],
                     "err": round(metrics["mean_reproj_err"], 3),
-                })
+                }, points=live_points)
         dt = time.time() - t0
         n_done += 1
         if not args.quiet:
@@ -335,7 +385,7 @@ def main(argv=None) -> int:
     if args.dump:
         dump_util.dump_map(ps.map, args.dump)
 
-    if phist is not None:
+    if phist is not None and args.patch_history:
         os.makedirs(args.patch_history, exist_ok=True)
         from PIL import Image
 

@@ -318,3 +318,60 @@ def test_ring_mirrors_stay_consistent():
     check(s, "after epipolar")
     s = lm.pop_frame(s)
     check(s, "after pop_frame")
+
+
+def test_obs_err_valid_kills_sentinel_aliasing():
+    """A stored error exactly equal to its own observed pixel — or exactly
+    (0,0) — is a legitimate value and must be COUNTED by mean_obs_error,
+    because the explicit obs_err_valid bit (written by reproject) is the
+    only exclusion criterion (VERDICT r4 item 7; no value aliasing)."""
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=10)
+    s, _ = lm.reproject(scene.state)
+    no = int(s.n_obs)
+    assert no > 2
+    # every active row passed cheirality on this perfect scene
+    assert np.asarray(s.obs_err_valid[:no]).all()
+
+    # adversarial: overwrite row 0's stored error with its own pixel value
+    # (the old err==px sentinel) and row 1's with exactly (0,0) (the old
+    # "unwritten" sentinel); both rows remain genuinely valid
+    err = s.obs_err.at[0].set(s.obs_px[0]).at[1].set(jnp.zeros(2))
+    s = s._replace(obs_err=err)
+
+    norms = np.linalg.norm(np.asarray(s.obs_err[:no]), axis=1)
+    valid = np.asarray(s.obs_err_valid[:no])
+    expected = norms[valid].mean()
+    got = float(lm.mean_obs_error(s))
+    assert abs(got - expected) < 1e-3
+    # row 0 now carries |px| (hundreds of px): an aliasing implementation
+    # would have silently excluded it and reported a tiny mean
+    assert got > 1.0
+
+
+def test_obs_err_valid_written_by_reproject():
+    """reproject sets the bit for counted rows and clears it for
+    cheirality-fail rows; add_observations starts rows invalid."""
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=10)
+    s = scene.state
+    # a fresh observation (never reprojected) is invalid
+    s2 = lm.add_observations(
+        s, 0, jnp.array([0]), jnp.array([[11.0, 22.0]]), jnp.array([True])
+    )
+    assert not bool(s2.obs_err_valid[int(s2.n_obs) - 1])
+
+    # move point 0 far behind every camera: its rows fail cheirality
+    s3 = s._replace(
+        point_loc=s.point_loc.at[0].set(jnp.array([0.0, 0.0, -5000.0, 1.0]))
+    )
+    s3, _ = lm.reproject(s3)
+    no = int(s3.n_obs)
+    rows_p0 = np.asarray(s3.obs_point[:no]) == 0
+    valid = np.asarray(s3.obs_err_valid[:no])
+    assert rows_p0.any()
+    assert not valid[rows_p0].any()
+    assert valid[~rows_p0].all()
+
+    # normalize_canary excludes exactly the invalid rows (and doesn't trip
+    # on the fresh never-reprojected obs row either)
+    c = float(lm.normalize_canary(s3))
+    assert c < 0.1

@@ -183,7 +183,7 @@ def test_polish_pass_improves_early_trajectory():
 
 
 def test_step_live_matches_step():
-    # the live-loop variant (donated state, one packed f32[8] of scalars)
+    # the live-loop variant (donated state, one packed f32[LIVE_WIDTH] row)
     # must evolve the same state as the full-metrics step and pack the
     # scalars the robot loop polls in the documented order
     src = sources.SyntheticSource(CFG, n_frames=6, n_points=400, step_mm=10.0)
@@ -207,11 +207,20 @@ def test_step_live_matches_step():
     )
     assert int(ps_b.map.n_points) == int(ps_a.map.n_points)
     m, p = mets[-1], packs[-1]
-    assert p.shape == (8,)
-    assert int(p[0]) == int(m["n_matches"])
-    assert int(p[1]) == int(m["is_keyframe"])
-    np.testing.assert_allclose(p[2], float(m["mean_reproj_err"]), rtol=1e-5)
-    assert int(p[4]) == int(m["n_points"])
+    assert p.shape == (pipeline.LIVE_WIDTH,)
+    ix = pipeline.LIVE_IDX
+    assert int(p[ix["n_matches"]]) == int(m["n_matches"])
+    assert int(p[ix["is_keyframe"]]) == int(m["is_keyframe"])
+    np.testing.assert_allclose(
+        p[ix["mean_reproj_err"]], float(m["mean_reproj_err"]), rtol=1e-5)
+    assert int(p[ix["n_points"]]) == int(m["n_points"])
+    # the safety counters ride the packed row (VERDICT r4 item 4)
+    for k in ("fast_obs_dropped", "slow_obs_dropped",
+              "reproject_obs_dropped"):
+        assert int(p[ix[k]]) == int(m[k])
+    np.testing.assert_allclose(
+        p[ix["normalize_canary_px"]], float(m["normalize_canary_px"]),
+        rtol=1e-5)
 
 
 def test_step_live_ring_matches_step_live():
@@ -228,7 +237,7 @@ def test_step_live_ring_matches_step_live():
         packs.append(np.asarray(out))
 
     ps_b = pipeline.init(CFG, scaled_intrinsics(CFG))
-    ring = jnp.zeros((4, 8), jnp.float32)
+    ring = jnp.zeros((4, pipeline.LIVE_WIDTH), jnp.float32)
     rings = []
     for img in frames:
         ps_b, ring = pipeline.step_live_ring(ps_b, ring, img, CFG)
@@ -241,5 +250,6 @@ def test_step_live_ring_matches_step_live():
     assert int(ps_b.map.n_points) == int(ps_a.map.n_points)
     # ring after frame i holds rows for frames i-3..i (zeros pre-history)
     np.testing.assert_allclose(rings[-1], np.stack(packs[-4:]), rtol=1e-5)
-    np.testing.assert_allclose(rings[1][:2], np.zeros((2, 8)))
+    np.testing.assert_allclose(
+        rings[1][:2], np.zeros((2, pipeline.LIVE_WIDTH)))
     np.testing.assert_allclose(rings[1][2:], np.stack(packs[:2]), rtol=1e-5)

@@ -257,3 +257,48 @@ def test_batched_fetchpool_orders_and_flushes():
     for i, (_, row) in enumerate(got):
         assert np.asarray(row).shape == (8,)
         assert float(np.asarray(row)[0]) == float(i)
+
+
+def test_liveview_point_inspector_endpoints():
+    """The per-point click inspector (/points + /point?id=N): the runtime
+    analog of the reference's mouse-hover patch-history inspector
+    (main.cpp:158-267, fed by matcher.cpp:260-265)."""
+    import http.client
+    import json as _json
+
+    import numpy as np
+
+    from slam_robot_tpu.utils.liveview import LiveView
+    from slam_robot_tpu.utils.patch_history import PatchHistory
+
+    ph = PatchHistory(size=5)
+    img = np.arange(40 * 30, dtype=np.float32).reshape(30, 40) / 1200.0
+    ph.update(img, np.array([3, 7, -1]),
+              np.array([[10.0, 12.0], [20.0, 8.0], [5.0, 5.0]]),
+              np.array([True, True, True]))
+
+    view = LiveView(port=0, host="127.0.0.1").start()
+    view.patch_history = ph
+    try:
+        overlay = np.zeros((24, 32, 3), np.uint8)
+        view.publish(overlay, {"frame": 1},
+                     points=[(3, 10.0, 12.0), (7, 20.0, 8.0)])
+
+        c = http.client.HTTPConnection("127.0.0.1", view.port, timeout=5)
+        c.request("GET", "/points")
+        pts = _json.loads(c.getresponse().read())
+        assert pts == [[3, 10.0, 12.0], [7, 20.0, 8.0]]
+
+        c.request("GET", "/point?id=3")
+        r = c.getresponse()
+        body = r.read()
+        assert r.status == 200 and body[:2] == b"\xff\xd8"
+
+        # unknown point: 404, not a crash
+        c.request("GET", "/point?id=999")
+        r = c.getresponse()
+        r.read()
+        assert r.status == 404
+        c.close()
+    finally:
+        view.stop()

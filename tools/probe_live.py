@@ -180,11 +180,11 @@ def main():
             pool.close()
             assert len(got) == len(live_frames)
         elif name == "live_ring":
-            # the shipped loop: device-side f32[8,8] telemetry ring inside
+            # the shipped loop: device-side f32[8,LIVE_WIDTH] telemetry ring inside
             # the jitted step, ONE pool fetch per 8 frames, zero extra
             # dispatches (bench.py / run_replay --live)
             from slam_robot_tpu.utils.fetchpool import FetchPool
-            ring = jnp.zeros((8, 8), jnp.float32)
+            ring = jnp.zeros((8, pipeline.LIVE_WIDTH), jnp.float32)
             pool = FetchPool(workers=2)
             got = []
             group = []
