@@ -18,9 +18,16 @@ SCHUR_JACOBI configuration (slam.cpp:488-490):
 - Gauss-Newton outer loop with fixed Levenberg damping (large maps are
   solved from good initializations — incremental mapping — so the full LM
   accept/reject machinery of the window solver isn't repeated here).
-- obs arrays may be sharded across devices: the segment-sums become psums
-  under the SPMD partitioner, which is exactly the landmark-ring
-  accumulation over ICI described in SURVEY §5.
+- obs arrays may be sharded across devices: :func:`solve_sharded` runs the
+  SAME solver under shard_map with the 1M-row observation tables (and
+  their per-shard gather plans) split over a mesh axis — every obs-derived
+  reduction (the [P,4] landmark sums and the reduced [W,6] camera system)
+  psums over ICI, which is exactly the "shard keyframes/landmarks across
+  devices, all-reduce the Schur-reduced camera system" scale-out of
+  SURVEY §5. The matvec is HBM-bandwidth-bound streaming the obs tables
+  (PERF.md finding 34), i.e. the per-device stream shrinks 1/D while the
+  psums are small ([P,4] + [W,6] per matvec) — the one workload more
+  chips genuinely lift.
 
 Same problem semantics as ops/ba.solve (free/const frames and points,
 Cauchy IRLS, cheirality masking). Frame-distance priors are supported on
@@ -138,39 +145,49 @@ class CGConfig(NamedTuple):
                                   # scatter of the spill mask
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def solve(
+def _solve_impl(
     frame_quat, frame_trans, frame_cam, cam_k,
     point_loc, point_uncertainty,
     obs_frame, obs_point, obs_px, obs_ok,
     present, free_frame,
-    cfg: CGConfig = CGConfig(),
+    cfg: CGConfig, axis_name: str | None,
 ) -> BAResult:
+    """Solver body. With ``axis_name`` set (inside shard_map), the obs
+    arrays are per-device SHARDS and every obs-derived reduction psums
+    over the named axis; frame/point arrays are replicated, so all [W,*]
+    and [P,*] state stays replicated and the CG runs identically on every
+    device."""
     F = frame_quat.shape[0]
     P = point_loc.shape[0]
     O = obs_frame.shape[0]
     W = cfg.max_free_frames
 
+    if axis_name is None:
+        def allsum(x):
+            return x
+    else:
+        def allsum(x):
+            return lax.psum(x, axis_name)
+
     f_idx = obs_frame.clip(0)
     p_idx = obs_point.clip(0)
     c_idx = frame_cam[f_idx]
 
-    frame_has_obs = (
-        jnp.zeros(F, jnp.int32).at[jnp.where(obs_ok, f_idx, F)].add(1, mode="drop") > 0
-    )
+    frame_has_obs = allsum(
+        jnp.zeros(F, jnp.int32).at[jnp.where(obs_ok, f_idx, F)].add(1, mode="drop")
+    ) > 0
     n_used = jnp.sum((present & frame_has_obs).astype(jnp.int32))
     solvable = n_used >= 2
     free_f = free_frame & frame_has_obs & solvable
 
-    point_in = (
-        jnp.zeros(P, jnp.int32).at[jnp.where(obs_ok, p_idx, P)].add(1, mode="drop") > 0
-    )
-    fluid = (
+    point_in = allsum(
+        jnp.zeros(P, jnp.int32).at[jnp.where(obs_ok, p_idx, P)].add(1, mode="drop")
+    ) > 0
+    fluid = allsum(
         jnp.zeros(P, jnp.int32)
         .at[jnp.where(obs_ok & free_f[f_idx], p_idx, P)]
         .add(1, mode="drop")
-        > 0
-    )
+    ) > 0
     free_p = point_in & (fluid | (point_uncertainty > cfg.uncertainty_free)) & solvable
 
     slot_of = jnp.where(free_f, jnp.cumsum(free_f) - 1, W).astype(jnp.int32)
@@ -192,7 +209,8 @@ def solve(
         plan_f = _padded_plan(
             jnp.where(obs_ok & (obs_slot < W), obs_slot, W).astype(jnp.int32),
             W, cfg.pad_obs_per_frame, cfg.pad_spill)
-        spill_ok = ~(plan_p[3] | plan_f[3])
+        spill_ok = allsum(
+            (plan_p[3] | plan_f[3]).astype(jnp.int32)) == 0
 
         def seg_p(vals):  # [O, D] -> [P, D]
             return _padded_seg_sum(vals, plan_p[0], plan_p[1], plan_p[2])
@@ -242,15 +260,16 @@ def solve(
         jp = jp * (use & free_p[p_idx])[:, None, None]
         wr = w[:, None] * r
 
-        # landmark blocks + gradient
-        Cp = seg_p(
+        # landmark blocks + gradient (psum'd across obs shards BEFORE the
+        # replicated prior/damping terms are added once per device)
+        Cp = allsum(seg_p(
             jnp.einsum("oia,oib,o->oab", jp, jp, w,
-                       precision=_HI).reshape(O, 16)).reshape(P, 4, 4)
-        bp = seg_p(-jnp.einsum("oia,oi->oa", jp, wr, precision=_HI))
-        Hff = seg_f(
+                       precision=_HI).reshape(O, 16))).reshape(P, 4, 4)
+        bp = allsum(seg_p(-jnp.einsum("oia,oi->oa", jp, wr, precision=_HI)))
+        Hff = allsum(seg_f(
             jnp.einsum("oia,oib,o->oab", jf, jf, w,
-                       precision=_HI).reshape(O, 36)).reshape(W, 6, 6)
-        bf = seg_f(-jnp.einsum("oia,oi->oa", jf, wr, precision=_HI))
+                       precision=_HI).reshape(O, 36))).reshape(W, 6, 6)
+        bf = allsum(seg_f(-jnp.einsum("oia,oi->oa", jf, wr, precision=_HI)))
 
         # frame-distance prior: diagonal contributions
         tprev = jnp.roll(ft, 1, axis=0)
@@ -276,20 +295,23 @@ def solve(
 
         slot_active = jnp.arange(W) < jnp.sum(free_f)
 
-        def schur_matvec(x):  # x: [W, 6]
+        def schur_matvec(x):  # x: [W, 6] (replicated)
             xg = jnp.concatenate([x, jnp.zeros((1, 6))])[obs_slot]  # [O,6]
             t1 = jnp.einsum("oia,oa->oi", jf, xg, precision=_HI)
-            u = seg_p(jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI))
+            u = allsum(
+                seg_p(jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI)))
             v = jnp.einsum("pab,pb->pa", Cinv, u, precision=_HI)
             t2 = jnp.einsum("oia,oa->oi", jp, v[p_idx], precision=_HI)
-            y = seg_f(jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI))
+            y = allsum(
+                seg_f(jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI)))
             bx = jnp.einsum("wab,wb->wa", Hff_d, x, precision=_HI)
             return jnp.where(slot_active[:, None], bx - y, x)
 
         # rhs = bf - E C^-1 bp
         v0 = jnp.einsum("pab,pb->pa", Cinv, bp, precision=_HI)
         t2 = jnp.einsum("oia,oa->oi", jp, v0[p_idx], precision=_HI)
-        e_cb = seg_f(jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI))
+        e_cb = allsum(
+            seg_f(jnp.einsum("oia,oi,o->oa", jf, t2, w, precision=_HI)))
         rhs = jnp.where(slot_active[:, None], bf - e_cb, 0.0)
 
         # Jacobi preconditioner (SCHUR_JACOBI)
@@ -328,7 +350,8 @@ def solve(
         # back-substitute points
         xg = jnp.concatenate([x, jnp.zeros((1, 6))])[obs_slot]
         t1 = jnp.einsum("oia,oa->oi", jf, xg, precision=_HI)
-        u = seg_p(jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI))
+        u = allsum(
+            seg_p(jnp.einsum("oia,oi,o->oa", jp, t1, w, precision=_HI)))
         dp = jnp.einsum("pab,pb->pa", Cinv, bp - u, precision=_HI)
         dp = jnp.where(free_p[:, None], dp, 0.0)
 
@@ -343,7 +366,8 @@ def solve(
 
     r0, use0 = residuals(frame_quat, frame_trans, point_loc)
     s0 = jnp.sum(r0 * r0, axis=-1)
-    cost0 = 0.5 * jnp.sum(jnp.where(use0, _cauchy_rho(s0, cfg.range), 0.0))
+    cost0 = allsum(
+        0.5 * jnp.sum(jnp.where(use0, _cauchy_rho(s0, cfg.range), 0.0)))
 
     (fq, ft, locs), _ = lax.scan(
         gn_step, (frame_quat, frame_trans, point_loc), None, length=cfg.gn_iters
@@ -351,7 +375,8 @@ def solve(
 
     r, use = residuals(fq, ft, locs)
     s = jnp.sum(r * r, axis=-1)
-    cost = 0.5 * jnp.sum(jnp.where(use, _cauchy_rho(s, cfg.range), 0.0))
+    cost = allsum(
+        0.5 * jnp.sum(jnp.where(use, _cauchy_rho(s, cfg.range), 0.0)))
 
     return BAResult(
         frame_quat=jnp.where(solvable, fq, frame_quat),
@@ -366,4 +391,79 @@ def solve(
         # fixed-iteration GN: the cap is always the exit reason
         term=jnp.where(solvable, TERM_MAX_ITERS, TERM_NOT_RUN).astype(jnp.int32),
         cost0=cost0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve(
+    frame_quat, frame_trans, frame_cam, cam_k,
+    point_loc, point_uncertainty,
+    obs_frame, obs_point, obs_px, obs_ok,
+    present, free_frame,
+    cfg: CGConfig = CGConfig(),
+) -> BAResult:
+    return _solve_impl(
+        frame_quat, frame_trans, frame_cam, cam_k,
+        point_loc, point_uncertainty,
+        obs_frame, obs_point, obs_px, obs_ok,
+        present, free_frame, cfg, None,
+    )
+
+
+def solve_sharded(
+    mesh,
+    frame_quat, frame_trans, frame_cam, cam_k,
+    point_loc, point_uncertainty,
+    obs_frame, obs_point, obs_px, obs_ok,
+    present, free_frame,
+    cfg: CGConfig = CGConfig(),
+    obs_axis: str = "model",
+) -> BAResult:
+    """:func:`solve` with the observation tables sharded over ``obs_axis``
+    — the SURVEY §5 large-map scale-out ("shard keyframes across devices
+    … all-reduce the Schur-reduced camera system over ICI").
+
+    Layout: frame/point parameters replicate (small: 10k frames = 70 KB,
+    500k points = 8 MB); the obs tables — the HBM stream that bounds the
+    matvec (PERF.md finding 34) — split 1/D per device, and each device
+    builds its own per-shard padded gather plan. Per CG matvec the
+    collectives are one [P,4] psum (the landmark segment sum; 8 MB at
+    500k points) and one [W,6] psum (the reduced camera system); per GN
+    iteration one additional assembly psum of the [P,4,4]+[W,6,6] blocks.
+    Everything else is replicated compute on [W]/[P]-shaped state.
+
+    Obs arrays are padded host-side with obs_ok=False rows to a multiple
+    of the axis size. Results match :func:`solve` up to f32 reduction
+    order (the psum splits each segment sum into D partials).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = mesh.shape[obs_axis]
+    O = obs_frame.shape[0]
+    pad = (-O) % D
+    if pad:
+        obs_frame = jnp.concatenate(
+            [obs_frame, jnp.full((pad,), -1, obs_frame.dtype)])
+        obs_point = jnp.concatenate(
+            [obs_point, jnp.full((pad,), -1, obs_point.dtype)])
+        obs_px = jnp.concatenate([obs_px, jnp.zeros((pad, 2), obs_px.dtype)])
+        obs_ok = jnp.concatenate([obs_ok, jnp.zeros((pad,), bool)])
+
+    fn = shard_map(
+        functools.partial(_solve_impl, cfg=cfg, axis_name=obs_axis),
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),
+            P(obs_axis), P(obs_axis), P(obs_axis), P(obs_axis),
+            P(), P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        frame_quat, frame_trans, frame_cam, cam_k,
+        point_loc, point_uncertainty,
+        obs_frame, obs_point, obs_px, obs_ok,
+        present, free_frame,
     )

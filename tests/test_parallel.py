@@ -50,6 +50,45 @@ def test_sharded_ba_matches_single_device(mesh8):
     assert abs(float(e_ref) - float(e_shd)) < 0.1
 
 
+def test_sharded_cg_matches_single_device(mesh8):
+    """ba_cg.solve_sharded (the SURVEY §5 large-map scale-out: obs tables
+    sharded over 'model', landmark sums + the reduced camera system psum'd
+    over the axis) must match the single-device implicit-Schur CG solver
+    up to f32 reduction order."""
+    from slam_robot_tpu.ops import ba_cg
+
+    scene = synthetic.build_scene(CFG, n_frames=8, n_points=30,
+                                  point_noise=40.0)
+    s, free, present, obs_ok = _problem(scene)
+    args = (
+        s.frame_quat, s.frame_trans, s.frame_cam, s.cam_k,
+        s.point_loc, s.point_uncertainty,
+        s.obs_frame, s.obs_point, s.obs_px, obs_ok, present, free,
+    )
+    cfg = ba_cg.CGConfig(max_free_frames=8)
+    ref = ba_cg.solve(*args, cfg)
+    shd = ba_cg.solve_sharded(mesh8, *args, cfg=cfg)
+    assert bool(ref.ok) and bool(shd.ok)
+    np.testing.assert_allclose(np.asarray(shd.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(shd.frame_trans[:8]), np.asarray(ref.frame_trans[:8]),
+        atol=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd.point_loc), np.asarray(ref.point_loc), atol=1.0,
+    )
+    # padding path: an obs count not divisible by the mesh still shards
+    O = int(s.n_obs)
+    odd = args[:6] + (
+        s.obs_frame[: O - 3], s.obs_point[: O - 3], s.obs_px[: O - 3],
+        obs_ok[: O - 3], present, free,
+    )
+    shd_odd = ba_cg.solve_sharded(mesh8, *odd, cfg=cfg)
+    assert bool(shd_odd.ok)
+    assert np.isfinite(float(shd_odd.cost))
+
+
 def test_shard_map_partials_match_dense(mesh8):
     rng = np.random.default_rng(0)
     O, P_, W = 64, 10, 4

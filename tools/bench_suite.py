@@ -169,6 +169,30 @@ def main():
              obs=int(prob["obs_frame"].shape[0]), ate_mm=round(ate, 2),
              cost=float(res.cost))
 
+        # sharded large-map CG (SURVEY §5 scale-out): obs tables split over
+        # a 'model' mesh of all local devices; landmark sums + the reduced
+        # camera system psum over the axis. One real chip = mesh of 1 (the
+        # multi-device form is validated on the virtual CPU mesh by
+        # tests/test_parallel.py and tools/profile_cg_sharded.py; the
+        # matvec is HBM-bandwidth-bound — finding 34 — so per-chip GN
+        # iters/s projects ~linearly with the 1/D obs stream).
+        from slam_robot_tpu.parallel import mesh as mesh_mod
+
+        D = len(jax.devices())
+        msh = mesh_mod.make_mesh({"model": D})
+        res_s = ba_cg.solve_sharded(msh, *args5, cfg=cgc)
+        _sync(res_s.cost)
+        t0 = time.time()
+        res_s = ba_cg.solve_sharded(msh, *args5, cfg=cgc)
+        _sync(res_s.cost)
+        dt = time.time() - t0
+        ate_s = float(jnp.sqrt(jnp.mean(jnp.sum(
+            (res_s.frame_trans - prob["true_trans"]) ** 2, axis=1))))
+        emit("5_large_ba_sharded", cgc.gn_iters / dt, "GN iters/s",
+             wall_s=round(dt, 2), devices=D, frames=nf, landmarks=npts,
+             obs=int(prob["obs_frame"].shape[0]), ate_mm=round(ate_s, 2),
+             cost=float(res_s.cost))
+
         # multi-robot shared map (the declared config-5 secondary axis:
         # VERDICT r2 item 6 — device number, not just CPU tests)
         from slam_robot_tpu.parallel import multi_robot
