@@ -82,6 +82,23 @@ class SlamConfig:
                                    # often. Kept as a knob for deep scenes
                                    # where 2000 mm is badly wrong.
     max_views: int = 4             # keyframe view ring (matcher.cpp:397-402)
+    point_evict_retain: int = 40   # capacity-pressure point eviction (no
+                                   # ref analog NEEDED: the reference's
+                                   # point vector grows unboundedly,
+                                   # localmap.h:317-319 — eviction is the
+                                   # fixed table's equivalent of "never
+                                   # full"). When a keyframe's seeds would
+                                   # overflow max_points, dead slots
+                                   # (never-cleared MISMATCHED/BAD_LOCATION
+                                   # + slam-dead) then LRU-stale slots
+                                   # (newest obs older than this many
+                                   # frames) are reclaimed; bit-identical
+                                   # below capacity. Must exceed the widest
+                                   # presented window (solve_xslow[1]=32).
+                                   # 0 disables. Without it the bench map
+                                   # saturates mid-scan and collapses into
+                                   # a terminal keyframe storm (seed 1:
+                                   # frame 111, PERF.md finding 41)
     uncertainty_confident: float = 100.0  # matcher.cpp:228,234; slam.cpp:347
     find_fail_backoff: int = 4     # straggler rate limit (no ref analog —
                                    # the reference re-attempts every stored

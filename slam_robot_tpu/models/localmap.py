@@ -79,7 +79,15 @@ class MapState(NamedTuple):
     point_loc: jnp.ndarray    # [P, 4] homogeneous world location
     point_uncertainty: jnp.ndarray  # [P] f32
     point_flags: jnp.ndarray  # [P] int32 bitmask
-    n_points: jnp.ndarray     # int32 scalar
+    point_free: jnp.ndarray   # [P] bool: slot evicted and reusable. The
+                              # reference's point vector grows unboundedly
+                              # (C++ heap); the fixed table's equivalent is
+                              # pressure-triggered eviction of dead/stale
+                              # slots (add_points), without which the map
+                              # saturates and the matcher starves (seed-1
+                              # keyframe-storm collapse, PERF.md finding 41)
+    n_points: jnp.ndarray     # int32 scalar HIGH-WATER mark (monotone);
+                              # live count = sum(point_mask)
     # flat observation table
     obs_frame: jnp.ndarray    # [O] int32
     obs_point: jnp.ndarray    # [O] int32
@@ -118,7 +126,8 @@ class MapState(NamedTuple):
 
     @property
     def point_mask(self):
-        return jnp.arange(self.point_loc.shape[0]) < self.n_points
+        return (jnp.arange(self.point_loc.shape[0]) < self.n_points) \
+            & ~self.point_free
 
     @property
     def obs_mask(self):
@@ -168,6 +177,7 @@ def empty(cfg: SlamConfig) -> MapState:
         point_loc=jnp.tile(jnp.array([0, 0, 1, 1], f32), (P, 1)),
         point_uncertainty=jnp.full((P,), 1e8, f32),
         point_flags=jnp.zeros((P,), jnp.int32),
+        point_free=jnp.zeros((P,), bool),
         n_points=jnp.int32(0),
         obs_frame=jnp.full((O,), -1, jnp.int32),
         obs_point=jnp.full((O,), -1, jnp.int32),
@@ -222,19 +232,96 @@ def set_frame_pose(state: MapState, idx, q, t) -> MapState:
     )
 
 
-def add_points(state: MapState, locs, valid) -> tuple[MapState, jnp.ndarray]:
+def evict_points(state: MapState, deficit, referenced=None,
+                 retain_frames: int = 40) -> MapState:
+    """Free up to ``deficit`` point slots under capacity pressure.
+
+    The reference's point vector grows unboundedly (localmap.h:317-319 —
+    C++ heap); a fixed-capacity table must reclaim slots or the matcher
+    starves once the map saturates: measured on the bench's seed-1 draw,
+    the table filled at frame 111 and the tail collapsed into a permanent
+    keyframe storm (28 kf in 32 frames, 50 live lanes, matches pinned
+    under min_matches — PERF.md finding 41). Eviction order:
+
+    1. DEAD points first: not feature-usable (matcher permanently dropped
+       them — MISMATCHED/BAD_LOCATION are never cleared) AND not
+       slam-usable (contribute nothing to any solve).
+    2. then STALE points (LRU): newest ring observation older than
+       ``retain_frames`` frames — healthy landmarks that left the view
+       long ago. ``retain_frames`` must cover the widest presented window
+       (solve_xslow[1]) so no evicted row could still feed a solve.
+
+    Points named in ``referenced`` (live matcher lanes) are never evicted.
+    Evicted slots set ``point_free``; their obs-table rows are RETIRED:
+    obs_point -> -1, disabled, obs_err_valid cleared (reproject freezes
+    and excludes them). Nothing is evicted when ``deficit`` <= 0, so the
+    behavior below capacity is bit-identical to no-eviction.
+    """
+    P = state.point_loc.shape[0]
+    flags = state.point_flags
+    dead = ~feature_usable(flags) & ~slam_usable(flags)
+    last_obs = jnp.max(state.ring_frame, axis=1)  # -1 = never observed
+    stale = last_obs < (state.n_frames - retain_frames)
+    cand = state.point_mask & (dead | stale)
+    if referenced is not None:
+        cand = cand & ~referenced
+    # dead before stale; older last-obs first within each class
+    score = jnp.where(
+        cand,
+        dead.astype(jnp.float32) * 1e9
+        + (state.n_frames - last_obs).astype(jnp.float32),
+        -jnp.inf,
+    )
+    order = jnp.argsort(-score)
+    take = (jnp.arange(P) < deficit) & (score[order] > -jnp.inf)
+    evict = jnp.zeros(P, bool).at[order].set(take)
+
+    retired = (
+        evict[state.obs_point.clip(0)] & (state.obs_point >= 0)
+        & state.obs_mask
+    )
+    return state._replace(
+        point_free=state.point_free | evict,
+        obs_point=jnp.where(retired, -1, state.obs_point),
+        obs_disabled=state.obs_disabled | retired,
+        obs_err_valid=state.obs_err_valid & ~retired,
+        ring_disabled=state.ring_disabled | evict[:, None],
+    )
+
+
+def add_points(state: MapState, locs, valid, referenced=None,
+               evict_retain: int = 0) -> tuple[MapState, jnp.ndarray]:
     """Batched AddPoint (localmap.cpp:106-112). Returns (state, point_idx[K]).
 
     New points get flags NO_OBSERVATIONS|NO_BASELINE and uncertainty 1e8.
     ``valid`` masks which of the K candidate rows are real; invalid rows get
     index -1 and consume no capacity.
+
+    Allocation takes evicted (``point_free``) slots first in index order,
+    then the append region — identical to pure appending while no slot has
+    ever been freed. With ``evict_retain`` > 0, a call that would overflow
+    the table first reclaims dead/stale slots via :func:`evict_points`
+    (never slots in ``referenced``); 0 disables eviction (non-matcher
+    callers and reference-exact replays never saturate).
     """
     locs = jnp.asarray(locs)
     valid = jnp.asarray(valid, bool)
     P = state.point_loc.shape[0]
-    offs = state.n_points + jnp.cumsum(valid) - valid.astype(jnp.int32)
-    in_cap = valid & (offs < P)
-    dest = jnp.where(in_cap, offs, P)  # out-of-range scatter drops
+
+    if evict_retain:
+        n_avail = (
+            jnp.sum(state.point_free.astype(jnp.int32)) + P - state.n_points
+        )
+        deficit = jnp.sum(valid.astype(jnp.int32)) - n_avail
+        state = evict_points(state, deficit, referenced, evict_retain)
+
+    avail = state.point_free | (jnp.arange(P) >= state.n_points)
+    n_avail = jnp.sum(avail.astype(jnp.int32))
+    slot_order = jnp.argsort(~avail)  # available slots first, index order
+    rank = jnp.cumsum(valid) - valid.astype(jnp.int32)
+    in_cap = valid & (rank < n_avail)
+    dest = jnp.where(in_cap, slot_order[rank.clip(0, P - 1)], P)  # OOB drops
+
     new_loc = state.point_loc.at[dest].set(locs, mode="drop")
     flags = state.point_flags.at[dest].set(NO_OBSERVATIONS | NO_BASELINE, mode="drop")
     unc = state.point_uncertainty.at[dest].set(1e8, mode="drop")
@@ -242,8 +329,9 @@ def add_points(state: MapState, locs, valid) -> tuple[MapState, jnp.ndarray]:
     totals = state.point_obs_total.at[dest].set(0, mode="drop")
     ring_frame = state.ring_frame.at[dest].set(-1, mode="drop")
     ring_disabled = state.ring_disabled.at[dest].set(False, mode="drop")
-    n_new = state.n_points + jnp.sum(in_cap.astype(jnp.int32))
-    idx = jnp.where(in_cap, offs, -1)
+    point_free = state.point_free.at[dest].set(False, mode="drop")
+    n_appended = jnp.sum((in_cap & (dest >= state.n_points)).astype(jnp.int32))
+    idx = jnp.where(in_cap, dest, -1).astype(jnp.int32)
     return (
         state._replace(
             point_loc=new_loc,
@@ -253,7 +341,8 @@ def add_points(state: MapState, locs, valid) -> tuple[MapState, jnp.ndarray]:
             point_obs_total=totals,
             ring_frame=ring_frame,
             ring_disabled=ring_disabled,
-            n_points=n_new,
+            point_free=point_free,
+            n_points=state.n_points + n_appended,
         ),
         idx,
     )
@@ -544,7 +633,9 @@ def pop_frame(state: MapState) -> MapState:
     # (_ring_gather only guards idx >= 0).
     P = state.point_loc.shape[0]
     R = state.point_obs.shape[1]
-    pts = jnp.where(removed, state.obs_point, P)
+    # retired rows (obs_point -1 after their point was evicted) must not
+    # wrap to slot P-1 through the scatter
+    pts = jnp.where(removed & (state.obs_point >= 0), state.obs_point, P)
     slot = jnp.mod(state.point_obs_total[pts.clip(0, P - 1)] - 1, R)
     point_obs = state.point_obs.at[pts, slot].set(-1, mode="drop")
     point_obs_total = state.point_obs_total.at[pts].add(-1, mode="drop")
@@ -615,7 +706,9 @@ def reproject(state: MapState, cheirality_eps: float = 0.001,
     px, valid = jax.vmap(proj.project_point, in_axes=(0, 0, 0, 0, None))(
         q, t, k, loc, cheirality_eps
     )
-    active = obs_mask_w
+    # retired rows (obs_point -1: their point slot was evicted) freeze
+    # their stored error and never count
+    active = obs_mask_w & (obs_point >= 0)
     err = jnp.where((valid & active)[:, None], px - obs_px, obs_px)
     counted = valid & active
     norms = jnp.linalg.norm(err, axis=-1)

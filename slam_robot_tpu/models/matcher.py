@@ -651,7 +651,18 @@ def track(
         dest = slot_order[jnp.arange(kk).clip(0, NF - 1)]
         assign = cval & (jnp.arange(kk) < n_free)
 
-        map_state, pids = lm.add_points(map_state, locs, assign)
+        # capacity-pressure eviction (localmap.evict_points): never evict a
+        # point a live lane still tracks
+        referenced = jnp.zeros(
+            (map_state.point_loc.shape[0],), bool
+        ).at[
+            jnp.where(feat_point_live >= 0, feat_point_live,
+                      map_state.point_loc.shape[0])
+        ].set(True, mode="drop")
+        map_state, pids = lm.add_points(
+            map_state, locs, assign, referenced=referenced,
+            evict_retain=cfg.point_evict_retain,
+        )
         assign = assign & (pids >= 0)
         map_state = lm.add_observations(map_state, frame_idx, pids, cpts, assign)
 

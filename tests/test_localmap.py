@@ -375,3 +375,106 @@ def test_obs_err_valid_written_by_reproject():
     # on the fresh never-reprojected obs row either)
     c = float(lm.normalize_canary(s3))
     assert c < 0.1
+
+
+def _saturate(s, n_extra_frames=0):
+    """Fill the small map to capacity with synthetic points."""
+    P = s.point_loc.shape[0]
+    locs = jnp.tile(jnp.array([0.0, 0, 2000, 1]), (P, 1))
+    while int(s.n_points) < P:
+        k = min(P - int(s.n_points), 32)
+        s, _ = lm.add_points(s, locs[:k], jnp.ones(k, bool))
+    return s
+
+
+def test_point_eviction_under_pressure():
+    """evict_points via add_points: dead slots reclaimed first, referenced
+    slots protected, evicted slots' obs rows retired, ring mirrors stay
+    consistent (PERF.md finding 41: the saturation keyframe-storm collapse)."""
+    s = small_state()
+    s, f0 = lm.add_frame(s, 0)
+    s, f1 = lm.add_frame(s, 1, quat.identity(), jnp.array([150.0, 0, 0]))
+    P = s.point_loc.shape[0]
+    s = _saturate(s)
+    assert int(s.n_points) == P
+
+    # give points 0..3 observations so they have retirable rows
+    for pid in range(4):
+        s = lm.add_observations(
+            s, f0, jnp.array([pid]), jnp.array([[100.0 + pid, 50.0]]),
+            jnp.array([True]))
+    # point 0 and 1: dead (MISMATCHED + BAD_FEATURE -> feature- and
+    # slam-dead); point 2: dead but REFERENCED by a lane; point 3: healthy
+    flags = s.point_flags
+    for pid in (0, 1, 2):
+        flags = flags.at[pid].set(lm.MISMATCHED | lm.BAD_FEATURE)
+    s = s._replace(point_flags=flags)
+    referenced = jnp.zeros(P, bool).at[2].set(True)
+
+    locs = jnp.tile(jnp.array([0.0, 0, 3000, 1]), (2, 1))
+    s2, ids = lm.add_points(s, locs, jnp.ones(2, bool),
+                            referenced=referenced, evict_retain=100)
+    ids = np.asarray(ids)
+    # the two new points landed in the two dead unreferenced slots
+    assert set(ids.tolist()) == {0, 1}
+    # referenced dead slot survived
+    assert not bool(s2.point_free[2])
+    # new slots are live and reset
+    assert bool(s2.point_mask[0]) and bool(s2.point_mask[1])
+    assert int(s2.point_obs_total[0]) == 0
+    assert int(s2.point_flags[0]) == lm.NO_OBSERVATIONS | lm.NO_BASELINE
+    # old rows of the evicted slots are retired
+    no = int(s2.n_obs)
+    op = np.asarray(s2.obs_point[:no])
+    od = np.asarray(s2.obs_disabled[:no])
+    ov = np.asarray(s2.obs_err_valid[:no])
+    # rows 0 and 1 belonged to points 0 and 1 (retired); 2 and 3 survive
+    assert op[0] == -1 and op[1] == -1 and od[0] and od[1]
+    assert not ov[0] and not ov[1]
+    assert op[2] == 2 and op[3] == 3
+
+    # ring mirror invariant still holds for live slots
+    idx, ok, _age = lm._ring_slots(s2)
+    idxn, okn = np.asarray(idx), np.asarray(ok)
+    of, odn = np.asarray(s2.obs_frame), np.asarray(s2.obs_disabled)
+    rf, rd = np.asarray(s2.ring_frame), np.asarray(s2.ring_disabled)
+    p, k = np.nonzero(okn & np.asarray(s2.point_mask)[:, None])
+    rows = idxn[p, k]
+    np.testing.assert_array_equal(rf[p, k], of[rows])
+    np.testing.assert_array_equal(rd[p, k], odn[rows])
+
+
+def test_point_eviction_lru_when_no_dead():
+    """With no dead points, pressure falls back to LRU-stale slots (newest
+    ring obs older than retain_frames); fresh points are kept."""
+    s = small_state()
+    for i in range(12):
+        s, _ = lm.add_frame(s, i % 2)
+    P = s.point_loc.shape[0]
+    s = _saturate(s)
+    # point 0 observed at frame 0 only (stale); point 1 observed at the
+    # newest frame (fresh)
+    s = lm.add_observations(s, 0, jnp.array([0]),
+                            jnp.array([[100.0, 50.0]]), jnp.array([True]))
+    s = lm.add_observations(s, 11, jnp.array([1]),
+                            jnp.array([[100.0, 50.0]]), jnp.array([True]))
+    locs = jnp.tile(jnp.array([0.0, 0, 3000, 1]), (1, 1))
+    s2, ids = lm.add_points(s, locs, jnp.ones(1, bool), evict_retain=4)
+    # never-observed points (last_obs -1) are the stalest; the evicted slot
+    # must NOT be point 1 (observed at frame 11, within retain=4)
+    assert int(ids[0]) != 1
+    assert bool(s2.point_mask[1])
+
+
+def test_add_points_bit_identical_below_capacity():
+    """evict_retain > 0 must be a no-op while the table has room: identical
+    states with and without it."""
+    scene = synthetic.build_scene(CFG, n_frames=4, n_points=10)
+    s = scene.state
+    locs = jnp.tile(jnp.array([0.0, 0, 2500, 1]), (5, 1))
+    valid = jnp.array([True, True, False, True, True])
+    a, ida = lm.add_points(s, locs, valid)
+    b, idb = lm.add_points(s, locs, valid, evict_retain=40)
+    np.testing.assert_array_equal(np.asarray(ida), np.asarray(idb))
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

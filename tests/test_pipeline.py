@@ -253,3 +253,39 @@ def test_step_live_ring_matches_step_live():
     np.testing.assert_allclose(
         rings[1][:2], np.zeros((2, pipeline.LIVE_WIDTH)))
     np.testing.assert_allclose(rings[1][2:], np.stack(packs[:2]), rtol=1e-5)
+
+
+def test_point_eviction_keeps_matcher_alive_at_capacity():
+    """Map saturation collapse (PERF.md finding 41): with a tiny max_points
+    the append-only table fills and the matcher starves — no new seeds,
+    live lanes decay, every frame keyframes. With capacity-pressure
+    eviction (cfg.point_evict_retain) seeding continues past saturation."""
+    import dataclasses
+
+    n = 32
+    cfg_small = dataclasses.replace(CFG, max_points=64, point_evict_retain=8)
+    cfg_off = dataclasses.replace(cfg_small, point_evict_retain=0)
+    src = sources.SyntheticSource(CFG, n_frames=n, n_points=400,
+                                  step_mm=18.0, yaw_rate=0.06)
+
+    def run(cfg):
+        ps = pipeline.init(cfg, scaled_intrinsics(cfg))
+        added_after_sat, sat_seen = 0, False
+        for i in range(n):
+            ps, met = pipeline.step(ps, jnp.asarray(src.get(i % 2, i)), cfg)
+            if sat_seen:
+                added_after_sat += int(np.asarray(met["n_added"]))
+            if int(np.asarray(met["n_points"])) >= cfg.max_points:
+                sat_seen = True
+        live = int(np.asarray(ps.map.point_mask).sum())
+        return ps, sat_seen, added_after_sat, live
+
+    ps_on, sat_on, added_on, live_on = run(cfg_small)
+    _, sat_off, added_off, _ = run(cfg_off)
+    assert sat_on and sat_off, "scene too small to saturate the tiny map"
+    # eviction keeps seeding after saturation; append-only cannot
+    assert added_on > added_off, (added_on, added_off)
+    assert added_on > 0
+    # live count bounded by capacity, and the free-list is consistent
+    assert live_on <= cfg_small.max_points
+    assert int(ps_on.map.n_points) <= cfg_small.max_points
