@@ -393,6 +393,19 @@ class SlamConfig:
     polish_solve: int = 0              # frames freed by the polish
                                        # (0 -> polish_at - 1: everything
                                        # but the frame-0/1 anchor)
+    polish2_at: int = 0                # second, deeper polish trigger: a
+                                       # one-time full re-solve at this
+                                       # frame (frees polish2_at-1 frames).
+                                       # Rationale: on hard texture draws
+                                       # the frame-20 polish repairs with
+                                       # WEAK evidence (few matches early)
+                                       # and the trajectory error plateaus
+                                       # by frame ~32 (probe_seed1 accrual
+                                       # curve: 13 -> 25 mm over frames
+                                       # 0-32, flat after); a second polish
+                                       # after the chain has real baseline
+                                       # re-anchors the early frames while
+                                       # their obs rows still exist. 0=off
     ba_iters_polish: int = 40          # LM budget for the polish solve
     solve_xslow: tuple[int, int] = (16, 32)  # third BA tier (no ref analog;
                                        # the rolling form of the polish):

@@ -301,7 +301,7 @@ def _step(ps: PipelineState, img, cfg: SlamConfig, run_slam: bool = True):
 step = functools.partial(jax.jit, static_argnames=("cfg", "run_slam"))(_step)
 
 
-def _polish(ps: PipelineState, cfg: SlamConfig):
+def _polish(ps: PipelineState, cfg: SlamConfig, ns: int = 0):
     """One-time early-trajectory polish (the SolveAllFrames the reference
     keeps for exactly this, slam.cpp:447-480): free every frame except the
     0/1 gauge anchor, with all evidence so far presented, to repair the
@@ -314,8 +314,12 @@ def _polish(ps: PipelineState, cfg: SlamConfig):
     tools/parity). It fires once, so compiling it into the per-frame step
     as a lax.cond would bill every frame for its cond-boundary state
     copies (measured +14%% scan step on CPU) and bloat the step compile
-    for one execution."""
-    ns = cfg.polish_solve or (cfg.polish_at - 1)
+    for one execution.
+
+    ``ns`` overrides the freed-frame count (static; a distinct ns is a
+    distinct compile) — used by the second polish trigger (cfg.polish2_at),
+    which re-solves a deeper chain once more evidence exists."""
+    ns = ns or cfg.polish_solve or (cfg.polish_at - 1)
     rw = cfg.reproject_window or None
     m, res = slam.solve_frames(
         ps.map, ns, ns + 2, cfg.ba_range, cfg,
@@ -331,15 +335,18 @@ def _polish(ps: PipelineState, cfg: SlamConfig):
     )
 
 
-polish = functools.partial(jax.jit, static_argnames=("cfg",))(_polish)
+polish = functools.partial(jax.jit, static_argnames=("cfg", "ns"))(_polish)
 
 
 def maybe_polish(ps: PipelineState, frame_idx: int, cfg: SlamConfig,
                  run_slam: bool = True):
     """Host-loop helper: run the one-time polish when ``frame_idx`` hits
-    ``cfg.polish_at`` (0 = disabled). Returns the (possibly) new state."""
+    ``cfg.polish_at``, and the second deeper polish at ``cfg.polish2_at``
+    (0 = disabled). Returns the (possibly) new state."""
     if run_slam and cfg.polish_at and frame_idx == cfg.polish_at:
         ps, _ = polish(ps, cfg)
+    if run_slam and cfg.polish2_at and frame_idx == cfg.polish2_at:
+        ps, _ = polish(ps, cfg, ns=cfg.polish2_at - 1)
     return ps
 
 # the LIVE per-frame variant (a robot feeds frames one at a time,

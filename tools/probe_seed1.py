@@ -111,6 +111,42 @@ def main():
     est_t = np.asarray(ps.map.frame_trans[:nf])
     ate = float(np.sqrt(((est_t - true_t) ** 2).sum(1)).mean())
     path = float(np.linalg.norm(true_t[-1] - true_t[0]))
+    # error-accrual curve: where along the trajectory the final-state error
+    # lives (early segments locked in by windowed BA vs tail drift)
+    perr = np.sqrt(((est_t - true_t) ** 2).sum(1))
+    for lo in range(0, nf, 16):
+        seg = perr[lo:lo + 16]
+        print(json.dumps({
+            "seg": [lo, min(lo + 16, nf)],
+            "mean_err_mm": round(float(seg.mean()), 2),
+            "max_err_mm": round(float(seg.max()), 2),
+        }), flush=True)
+    # gauge decomposition: how much of the final error is a GLOBAL scale
+    # (weakly observable: only the 150mm frame-distance prior pins it) vs
+    # rotation vs residual shape. Fit scale-only, then rotation+scale
+    # (both anchored at the origin like the trajectory itself).
+    num = float((est_t * true_t).sum())
+    den = float((est_t * est_t).sum())
+    s_fit = num / max(den, 1e-9)
+    perr_s = np.sqrt((((s_fit * est_t) - true_t) ** 2).sum(1))
+    # Kabsch about the origin (no centroid shift: frame 0 is the anchor)
+    H = est_t.T @ true_t
+    U, S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    Rk = Vt.T @ np.diag([1, 1, d]) @ U.T
+    sr = float((S * [1, 1, d]).sum()) / max(den, 1e-9)
+    perr_rs = np.sqrt((((sr * (Rk @ est_t.T).T) - true_t) ** 2).sum(1))
+    print(json.dumps({
+        "gauge": {
+            "scale_fit": round(s_fit, 4),
+            "ate_mm_raw": round(float(perr.mean()), 2),
+            "ate_mm_after_scale": round(float(perr_s.mean()), 2),
+            "ate_mm_after_rot_scale": round(float(perr_rs.mean()), 2),
+            "rot_angle_deg": round(float(np.degrees(np.arccos(
+                np.clip((np.trace(Rk) - 1) / 2, -1, 1)))), 3),
+        }
+    }), flush=True)
+
     kfs = [r for r in rows if r["kf"]]
     tail = rows[96:]
     print(json.dumps({
