@@ -13,6 +13,7 @@ detail for comparison. Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
@@ -61,9 +62,16 @@ def main() -> None:
     import jax
 
     # persistent compile cache: the pipeline module is large and the TPU
-    # remote-compile path is slow; warm runs skip it entirely
+    # remote-compile path is slow; warm runs skip it entirely. This is the
+    # production amortization story (the reference amortizes Ceres setup
+    # per-solve, slam.cpp:482-521; our analog pays XLA compilation ONCE per
+    # code state and the cache bounds the once) — so compile_s is reported
+    # together with the cache state that produced it, making warm and cold
+    # runs distinguishable in the artifact (ADVICE r4 / PERF finding 41).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache_entries_before = sum(
+        len(fs) for _, _, fs in os.walk("/root/repo/.jax_cache"))
 
     import jax.numpy as jnp
     import numpy as np
@@ -274,6 +282,7 @@ def main() -> None:
                     "live_fps": round(1000.0 / live_ms, 2),
                     "live_compile_s": round(live_compile_s, 1),
                     "compile_s": round(compile_s, 1),
+                    "compile_cache_entries_before": cache_entries_before,
                     "scan_compile_s": round(scan_compile_s, 1),
                     "mean_reproj_err_px": round(err, 3),
                     "median_enabled_err_px": round(median_err, 3),

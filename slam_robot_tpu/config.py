@@ -60,7 +60,16 @@ class SlamConfig:
 
     # ---- feature lifecycle (matcher.cpp) ----
     min_matches: int = 40          # keyframe trigger (matcher.cpp:338,353)
-    max_corners: int = 120         # goodFeaturesToTrack (matcher.cpp:127)
+    max_corners: int = 120         # goodFeaturesToTrack (matcher.cpp:127).
+                                   # The detector pegs this cap on every
+                                   # keyframe, and raising it to 200 fixes
+                                   # the hard bench draw (3-seed on-chip
+                                   # median 1.46 -> 0.97 % ATE) — but blows
+                                   # up rotation-heavy scenes 2-8x (low-
+                                   # parallax seeds weaken pose constraints;
+                                   # capacity-independent). A per-regime
+                                   # trade, not a default: PERF.md finding
+                                   # 44 has the full campaign.
     corner_quality: float = 0.01   # matcher.cpp:128
     corner_min_dist: float = 20.0  # matcher.cpp:129
     suppress_grid: int = 30        # occupancy grid (matcher.cpp:132)
