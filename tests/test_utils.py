@@ -81,6 +81,32 @@ def test_ate_helper():
     assert dump.ate(a, a) == 0.0
 
 
+def test_ate_aligned_removes_gauge():
+    # a trajectory corrupted by a pure global rotation + scale + shift has
+    # large raw ATE but ~zero Umeyama-aligned ATE (PERF.md finding 42: the
+    # hard-draw residual is exactly this gauge class)
+    rng = np.random.default_rng(0)
+    true = np.cumsum(rng.normal(0, 10.0, (40, 3)), axis=0)
+    ang = np.radians(4.0)
+    rot = np.array([
+        [np.cos(ang), 0.0, np.sin(ang)],
+        [0.0, 1.0, 0.0],
+        [-np.sin(ang), 0.0, np.cos(ang)],
+    ])
+    est = 1.03 * (true @ rot.T) + np.array([5.0, -3.0, 2.0])
+    raw = np.sqrt(((est - true) ** 2).sum(1)).mean()
+    assert raw > 1.0  # the gauge error is visible raw
+    assert dump.ate_aligned(est, true) < 1e-6
+    # SE(3)-only alignment must NOT absorb the scale component
+    assert dump.ate_aligned(est, true, with_scale=False) > 0.1
+    # round-trip of the fit parameters
+    s, rot_f, t = dump.align_umeyama(est, true)
+    assert abs(s - 1.0 / 1.03) < 1e-6
+    # degenerate inputs fall back to identity
+    s2, r2, _ = dump.align_umeyama(est[:2], true[:2])
+    assert s2 == 1.0 and np.allclose(r2, np.eye(3))
+
+
 def test_debug_draw_colors():
     scene = synthetic.build_scene(CFG, n_frames=4, n_points=6)
     img = np.full((480, 640), 0.5, np.float32)

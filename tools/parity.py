@@ -107,7 +107,15 @@ SEQUENCES = {
         cfg=dict(max_frames=64),
         golden="golden_production.json",
         truth_pct=2.8,         # per-seed cap (worst measured 2.69 + margin)
-        truth_pct_median=1.6,  # 3-seed median bar (measured 1.49)
+        truth_pct_median=1.6,  # 3-seed median bar (measured 1.49). Round 5
+                               # re-examined tightening to 1.0: the only
+                               # knobs that reach it on the bench family
+                               # (min_matches 56, max_corners 200) regress
+                               # THIS fast-yaw family 2-8x or sign-flip
+                               # other seeds — PERF.md findings 43/44. The
+                               # bar states what the shipped config
+                               # measures, not what a per-regime knob
+                               # could cherry-pick.
     ),
 }
 

@@ -39,7 +39,7 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
     import numpy as np
 
     from slam_robot_tpu.models import pipeline
-    from slam_robot_tpu.utils import benchscene
+    from slam_robot_tpu.utils import benchscene, dump
 
     ps = pipeline.init(cfg)
     t0 = time.time()
@@ -92,6 +92,9 @@ def run_variant(name, cfg, frames, n_warm, run_slam=True):
         "median_enabled_err_px": round(median_err, 3),
         "ate_mm": round(ate, 1),
         "ate_pct_of_path": round(100.0 * ate / max(path, 1e-9), 2),
+        # gauge-aligned companion (TUM-style Umeyama Sim(3), PERF fndg 42)
+        "ate_pct_aligned": round(
+            100.0 * dump.ate_aligned(est_t, true_t) / max(path, 1e-9), 2),
         "n_points": int(m2.n_points),
         "mean_matches": round(float(np.asarray(nm).mean()), 1),
         "keyframes_in_scan": int(np.asarray(kf).sum()),
